@@ -1,0 +1,137 @@
+"""Golden tests for sampling/correlation ops against straightforward numpy
+references (SURVEY.md §4c: patchify/corr checked vs pure numpy)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from batrack_tpu.ops import (
+    avg_pool2d,
+    bilinear_sample2d,
+    build_pyramid,
+    corr_sample_pyramid,
+    interpolate_bilinear,
+    patchify,
+)
+
+
+def np_bilinear(im, x, y):
+    """Reference bilinear sampling, clamped indices (model_utils.py:75-169)."""
+    B, C, H, W = im.shape
+    x0 = np.floor(x)
+    y0 = np.floor(y)
+    x1, y1 = x0 + 1, y0 + 1
+    x0c = np.clip(x0, 0, W - 1).astype(int)
+    x1c = np.clip(x1, 0, W - 1).astype(int)
+    y0c = np.clip(y0, 0, H - 1).astype(int)
+    y1c = np.clip(y1, 0, H - 1).astype(int)
+    out = np.zeros((B, C, x.shape[1]))
+    for b in range(B):
+        for n in range(x.shape[1]):
+            i00 = im[b, :, y0c[b, n], x0c[b, n]]
+            i01 = im[b, :, y0c[b, n], x1c[b, n]]
+            i10 = im[b, :, y1c[b, n], x0c[b, n]]
+            i11 = im[b, :, y1c[b, n], x1c[b, n]]
+            w00 = (x1[b, n] - x[b, n]) * (y1[b, n] - y[b, n])
+            w01 = (x[b, n] - x0[b, n]) * (y1[b, n] - y[b, n])
+            w10 = (x1[b, n] - x[b, n]) * (y[b, n] - y0[b, n])
+            w11 = (x[b, n] - x0[b, n]) * (y[b, n] - y0[b, n])
+            out[b, :, n] = w00 * i00 + w01 * i01 + w10 * i10 + w11 * i11
+    return out
+
+
+def test_bilinear_sample2d_matches_numpy(rng):
+    im = rng.normal(size=(2, 3, 20, 30)).astype(np.float32)
+    x = rng.uniform(-2, 32, size=(2, 17)).astype(np.float32)
+    y = rng.uniform(-2, 22, size=(2, 17)).astype(np.float32)
+    out = bilinear_sample2d(jnp.asarray(im), jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_allclose(out, np_bilinear(im, x, y), rtol=1e-4, atol=1e-4)
+
+
+def test_bilinear_sample2d_inbounds(rng):
+    im = jnp.ones((1, 1, 10, 10))
+    x = jnp.asarray([[-1.0, 5.0, 9.6]])
+    y = jnp.asarray([[5.0, 5.0, 5.0]])
+    _, inb = bilinear_sample2d(im, x, y, return_inbounds=True)
+    np.testing.assert_array_equal(np.asarray(inb[0]), [0.0, 1.0, 0.0])
+
+
+def test_patchify_r0_is_bilinear_sample(rng):
+    """radius=0 patchify == bilinear interpolation (the SLAM path,
+    batrack.py:321-323)."""
+    im = rng.normal(size=(1, 3, 24, 32)).astype(np.float32)
+    coords = np.stack(
+        [rng.uniform(1, 30, size=(1, 9)), rng.uniform(1, 22, size=(1, 9))], -1
+    ).astype(np.float32)
+    out = patchify(jnp.asarray(im), jnp.asarray(coords), 0)  # (1, 9, 3, 1, 1)
+    ref = np_bilinear(im, coords[..., 0], coords[..., 1])  # (1, 3, 9)
+    np.testing.assert_allclose(out[0, :, :, 0, 0].T, ref[0], rtol=1e-4, atol=1e-4)
+
+
+def test_patchify_integer_coords(rng):
+    im = rng.normal(size=(1, 2, 16, 16)).astype(np.float32)
+    coords = jnp.asarray([[[5.0, 7.0]]])
+    out = patchify(jnp.asarray(im), coords, 1)  # (1, 1, 2, 3, 3)
+    np.testing.assert_allclose(out[0, 0], im[0][:, 6:9, 4:7], rtol=1e-5, atol=1e-5)
+
+
+def test_corr_fused_matches_full_volume(rng):
+    """Fused gather-correlation == materialised volume + bilinear sampling
+    (CorrBlock.corr/sample, blocks.py:326-385)."""
+    S, C, H, W, N = 3, 16, 16, 24, 7
+    fmaps = rng.normal(size=(S, C, H, W)).astype(np.float32)
+    targets = rng.normal(size=(S, N, C)).astype(np.float32)
+    coords = np.stack(
+        [rng.uniform(4, 19, size=(S, N)), rng.uniform(4, 11, size=(S, N))], -1
+    ).astype(np.float32)
+    radius, levels = 2, 2
+
+    pyramid = build_pyramid(jnp.asarray(fmaps), levels)
+    out = corr_sample_pyramid(pyramid, jnp.asarray(targets), jnp.asarray(coords), radius)
+
+    # reference path: full (S, N, H, W) volume then bilinear window sample
+    d = 2 * radius + 1
+    expected = []
+    for lvl in range(levels):
+        fm = np.asarray(pyramid[lvl])
+        _, _, Hl, Wl = fm.shape
+        vol = np.einsum("snc,schw->snhw", targets, fm) / np.sqrt(C)
+        lvl_out = np.zeros((S, N, d, d), np.float32)
+        for s in range(S):
+            for n in range(N):
+                cx, cy = coords[s, n] / (2**lvl)
+                for iy, dy in enumerate(range(-radius, radius + 1)):
+                    for ix, dx in enumerate(range(-radius, radius + 1)):
+                        x, y = cx + dx, cy + dy
+                        x0, y0 = int(np.floor(x)), int(np.floor(y))
+                        wx, wy = x - x0, y - y0
+                        def at(yy, xx):
+                            return vol[s, n, np.clip(yy, 0, Hl - 1), np.clip(xx, 0, Wl - 1)]
+                        lvl_out[s, n, iy, ix] = (
+                            (1 - wy) * (1 - wx) * at(y0, x0)
+                            + (1 - wy) * wx * at(y0, x0 + 1)
+                            + wy * (1 - wx) * at(y0 + 1, x0)
+                            + wy * wx * at(y0 + 1, x0 + 1)
+                        )
+        expected.append(lvl_out.reshape(S, N, d * d))
+    expected = np.concatenate(expected, -1)
+    np.testing.assert_allclose(out, expected, rtol=1e-3, atol=1e-3)
+
+
+def test_avg_pool2d(rng):
+    x = rng.normal(size=(2, 3, 8, 8)).astype(np.float32)
+    out = avg_pool2d(jnp.asarray(x), 2, 2)
+    ref = x.reshape(2, 3, 4, 2, 4, 2).mean(axis=(3, 5))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_interpolate_bilinear_identity(rng):
+    x = rng.normal(size=(3, 10, 12)).astype(np.float32)
+    out = interpolate_bilinear(jnp.asarray(x), (10, 12))
+    np.testing.assert_allclose(out, x, rtol=1e-5, atol=1e-5)
+
+
+def test_interpolate_align_corners_endpoints(rng):
+    x = rng.normal(size=(1, 4, 4)).astype(np.float32)
+    out = np.asarray(interpolate_bilinear(jnp.asarray(x), (7, 7), align_corners=True))
+    np.testing.assert_allclose(out[:, 0, 0], x[:, 0, 0], rtol=1e-5)
+    np.testing.assert_allclose(out[:, -1, -1], x[:, -1, -1], rtol=1e-5)
