@@ -67,7 +67,8 @@ def act4(g: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     the inverse depth.
     """
     v, w = p[..., :3], p[..., 3:4]
-    return jnp.concatenate([quat_rotate(g[..., 3:7], v) + w * g[..., :3], w], axis=-1)
+    xyz = quat_rotate(g[..., 3:7], v) + w * g[..., :3]
+    return jnp.concatenate([xyz, jnp.broadcast_to(w, xyz.shape[:-1] + (1,))], axis=-1)
 
 
 def exp(xi: jnp.ndarray) -> jnp.ndarray:

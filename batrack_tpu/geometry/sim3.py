@@ -151,7 +151,8 @@ def sim3_act(g, p):
 def sim3_act4(g, p):
     v, w = p[..., :3], p[..., 3:4]
     t, q, s = g[..., :3], g[..., 3:7], g[..., 7:8]
-    return jnp.concatenate([s * quat_rotate(q, v) + w * t, w], axis=-1)
+    xyz = s * quat_rotate(q, v) + w * t
+    return jnp.concatenate([xyz, jnp.broadcast_to(w, xyz.shape[:-1] + (1,))], axis=-1)
 
 
 def sim3_matrix(g):

@@ -1,0 +1,227 @@
+"""BATrack SLAM system: the host-side orchestrator.
+
+The per-frame loop stays in Python (it drives IO and the tracker), but every
+tensor-touching stage is one of three jitted programs closed over the static
+dims: ingest (window roll + patch gen + motion model), gate_and_append
+(tracker gating + factor-graph ring write) and slam_update (full dual-BA
+backend). Equivalent surface to the reference class BATRACK
+(main/batrack.py:38-1135).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from batrack_tpu.geometry import se3
+from batrack_tpu.slam.frontend import (
+    TrackerInput,
+    TrackerOutput,
+    build_tracker_input,
+    gate_and_append,
+)
+from batrack_tpu.slam.ingest import ingest_frame
+from batrack_tpu.slam.state import SLAMState, StaticDims, init_state
+from batrack_tpu.slam.update import slam_update
+from batrack_tpu.utils.config import Config
+
+# Tracker: (TrackerInput) -> TrackerOutput. May or may not be jitted inside.
+TrackerFn = Callable[[TrackerInput], TrackerOutput]
+
+
+class BATrack:
+    """Online dynamic-scene visual odometry (reference BATRACK equivalent)."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        ht: int,
+        wd: int,
+        tracker: Optional[TrackerFn] = None,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.dims = StaticDims.from_config(cfg, ht, wd)
+        self.state = init_state(cfg, ht, wd)
+        self.tracker = tracker
+        self.key = jax.random.PRNGKey(seed)
+
+        self.n = 0               # frames in buffer
+        self.counter = 0         # total frames seen
+        self.append_count = 0    # ring appends so far
+        self.is_initialized = False
+        self.tlist: List = []
+        self.delta: Dict[int, Tuple[int, np.ndarray]] = {}  # keyframe removals
+
+        slam = cfg.slam
+        dims = self.dims
+
+        self._ingest = jax.jit(
+            functools.partial(
+                ingest_frame,
+                dims=dims,
+                patch_gen=slam.PATCH_GEN,
+                motion_damping=slam.MOTION_DAMPING,
+            )
+        )
+        self._build_input = jax.jit(
+            functools.partial(build_tracker_input, dims=dims)
+        )
+        self._gate_append = jax.jit(
+            functools.partial(
+                gate_and_append,
+                dims=dims,
+                vis_threshold=slam.VIS_THRESHOLD,
+                static_threshold=slam.STATIC_THRESHOLD,
+                static_quantile=slam.STATIC_QUANTILE,
+                min_track_len=slam.MIN_TRACK_LEN,
+                boundary_padding=slam.BOUNDARY_PADDING,
+            )
+        )
+        self._update = jax.jit(
+            functools.partial(slam_update, dims=dims, cfg=slam)
+        )
+
+    # ------------------------------------------------------------------
+    def __call__(self, tstamp, image, depth, intrinsics) -> None:
+        """Track one frame (reference __call__, batrack.py:937-1009).
+
+        image: (H, W, 3) uint8/float; depth: (H, W) or (H, W, 1) metric;
+        intrinsics: (4,) [fx, fy, cx, cy].
+        """
+        if (self.n + 1) >= self.dims.N:
+            raise RuntimeError(
+                f"Buffer size {self.dims.N} exhausted; increase slam.BUFFER_SIZE"
+            )
+
+        image = jnp.asarray(np.asarray(image), jnp.float32)
+        depth = jnp.asarray(np.asarray(depth), jnp.float32)
+        if depth.ndim == 3:
+            depth = depth[..., 0]
+        intrinsics = jnp.asarray(np.asarray(intrinsics), jnp.float32)
+
+        self.key, sub = jax.random.split(self.key)
+        mark_valid = (self.n % self.cfg.slam.kf_stride == 0) and not self.is_initialized
+        self.state, _ = self._ingest(
+            self.state,
+            image,
+            depth,
+            intrinsics,
+            jnp.asarray(self.n, jnp.int32),
+            jnp.asarray(self.counter, jnp.int32),
+            sub,
+            mark_valid=jnp.asarray(mark_valid),
+        )
+
+        self.tlist.append(tstamp)
+        self.counter += 1
+        self.n += 1
+
+        if (self.n - 1) % self.cfg.slam.kf_stride == 0:
+            self._track_append()
+
+        if self.n == self.cfg.slam.num_init + 1 and not self.is_initialized:
+            self.is_initialized = True
+            for _ in range(12):
+                self.update()
+        elif self.is_initialized:
+            self.update()
+            # edge removal (keyframe_simple) is implicit: the ring overwrite
+            # plus the BA patch-window predicate reproduce batrack.py:1020-1024
+
+    # ------------------------------------------------------------------
+    def _track_append(self) -> None:
+        if self.tracker is None:
+            raise RuntimeError("no tracker configured")
+        tin = self._build_input(self.state, jnp.asarray(self.n, jnp.int32))
+        tout = self.tracker(tin)
+        slot = self.append_count % self.dims.ring_slots
+        self.state = self._gate_append(
+            self.state,
+            tin,
+            tout,
+            jnp.asarray(self.n, jnp.int32),
+            jnp.asarray(slot, jnp.int32),
+        )
+        self.append_count += 1
+
+    def update(self) -> None:
+        self.state = self._update(
+            self.state,
+            jnp.asarray(self.n, jnp.int32),
+            jnp.asarray(self.is_initialized),
+        )
+
+    # ------------------------------------------------------------------
+    def get_pose(self, t: int, traj: Dict[int, np.ndarray]) -> np.ndarray:
+        """Pose for counter t, following removal deltas (batrack.py:223-228)."""
+        if t in traj:
+            return traj[t]
+        t0, dP = self.delta[t]
+        return np.asarray(se3.mul(jnp.asarray(dP), jnp.asarray(self.get_pose(t0, traj))))
+
+    def _full_traj(self) -> np.ndarray:
+        tstamps = np.asarray(self.state.tstamps[: self.n])
+        poses = np.asarray(self.state.poses[: self.n])
+        traj = {int(t): poses[i] for i, t in enumerate(tstamps)}
+        return np.stack([self.get_pose(t, traj) for t in range(self.counter)])
+
+    def terminate(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Final camera-to-world TUM trajectory (batrack.py:898-915).
+
+        Returns (poses (C, 7) [tx ty tz qw qx qy qz], tstamps (C,)).
+        """
+        poses = self._full_traj()
+        poses = np.asarray(se3.inv(jnp.asarray(poses)))  # w2c -> c2w
+        poses = poses[:, [0, 1, 2, 6, 3, 4, 5]]
+        tstamps = np.asarray(self.tlist, dtype=float)
+        return poses, tstamps
+
+    # ------------------------------------------------------------------
+    def get_results(
+        self,
+        rgbs=None,
+        dmaps=None,
+        dmaps_gt=None,
+        save_path: Optional[str] = None,
+    ) -> dict:
+        """Results dict with the reference pickle schema (batrack.py:1080-1135)
+        so the dense-refinement stage and visualizers interoperate."""
+        C = self.counter
+        M, S_local = self.dims.M, self.dims.S_local
+
+        poses = self._full_traj()
+        import batrack_tpu.geometry.se3 as se3m
+
+        cams_T_world = np.asarray(se3m.matrix(se3m.inv(jnp.asarray(poses))))
+
+        state = self.state
+        pts_valid = np.asarray(state.patches_valid[: C * M]).reshape(C, M)
+        trajs_weights = np.asarray(state.local_weights[: C * M]).reshape(C, M, S_local)
+        results = {
+            "cams_T_world": cams_T_world,
+            "intrinsics": np.asarray(state.intrinsics[:C]),
+            "tstamps": np.asarray(self.tlist, dtype=float),
+            "trajs_2d_disp": np.asarray(state.local_targets[: C * M]).reshape(
+                C, M, S_local, 3
+            ),
+            "trajs_valid": (trajs_weights.sum(axis=2) > 0),
+            "trajs_static": np.asarray(state.local_static[: C * M]).reshape(
+                C, M, S_local
+            ),
+            "trajs_vis": np.asarray(state.local_vis[: C * M]).reshape(C, M, S_local),
+            "grid_query_frames": np.arange(C)[pts_valid.sum(axis=1) > 0],
+            "dmaps": None if dmaps is None else np.asarray(dmaps, dtype=float),
+            "rgbs": None if rgbs is None else np.asarray(rgbs, dtype=float),
+            "dmaps_gt": None if dmaps_gt is None else np.asarray(dmaps_gt, dtype=float),
+        }
+        if save_path is not None:
+            import pickle
+
+            with open(save_path, "wb") as f:
+                pickle.dump(results, f)
+        return results

@@ -1,0 +1,136 @@
+"""SLAM backend update: dual BA + map-point culling + point-cloud refresh.
+
+Mirrors BATRACK.update (batrack.py:856-895), map_point_filtering (:327-332)
+and update_point_cloud (:821-854) as one jitted function over the static
+state. The reference runs this as ~hundreds of small CUDA kernels per frame;
+here the entire 4x(pose BA + structure BA) + culling + point-cloud pass is a
+single XLA program.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from batrack_tpu.ba import BAProblem, ba_iteration
+from batrack_tpu.geometry import projective, se3
+from batrack_tpu.slam.state import SLAMState, StaticDims
+from batrack_tpu.utils.config import SlamConfig
+
+
+def slam_update(
+    state: SLAMState,
+    n: jnp.ndarray,
+    initialized: jnp.ndarray,
+    dims: StaticDims,
+    cfg: SlamConfig,
+) -> SLAMState:
+    """One full backend update (ITER x dual BA + culling + point cloud)."""
+    M = dims.M
+    mid = (dims.S_local + 1) // 2 - 1
+    t0 = jnp.where(initialized, jnp.maximum(n - cfg.OPTIMIZATION_WINDOW, 1), 1)
+    base_k = jnp.maximum(n - dims.patch_window, 0) * M
+    bounds = (0.0, 0.0, float(dims.wd), float(dims.ht))
+
+    ii = state.e_kk // M
+
+    def ba_pass(poses, patches, weights, structure_only):
+        prob = BAProblem(
+            poses=poses,
+            patches=patches,
+            monodisp=state.local_targets[:, mid, 2],
+            intrinsics=state.intrinsics,
+            targets=state.e_target[:, :2],
+            weights=weights,
+            ii=ii,
+            jj=state.e_jj,
+            kk=state.e_kk,
+            valid=state.e_valid,
+            t0=t0,
+            n=n,
+            base_k=base_k,
+        )
+        return ba_iteration(
+            prob,
+            window=dims.window,
+            patch_window=dims.patch_window,
+            patches_per_frame=M,
+            bounds=bounds,
+            ep=cfg.BA_EP,
+            lmbda=cfg.BA_LMBDA,
+            alpha=cfg.BA_ALPHA,
+            loss=cfg.LOSS,
+            structure_only=structure_only,
+        )
+
+    def body(_, carry):
+        poses, patches = carry
+        # pose pass with static-only weights, then structure-only pass with
+        # all weights (batrack.py:869-875)
+        poses, patches = ba_pass(poses, patches, state.e_weight_pose, False)
+        poses, patches = ba_pass(poses, patches, state.e_weight, True)
+        return poses, patches
+
+    poses, patches = jax.lax.fori_loop(0, cfg.ITER, body, (state.poses, state.patches))
+    state = state._replace(poses=poses, patches=patches)
+
+    # ---- map point culling (batrack.py:327-332, 887-889)
+    if cfg.USE_MAP_FILTERING:
+        coords, _, _ = projective.transform(
+            poses, patches, state.intrinsics, ii, state.e_jj, state.e_kk
+        )
+        ate = jnp.linalg.norm(coords - state.e_target[:, :2], axis=-1)
+        keep = (ate < cfg.MAP_FILTERING_TH)[:, None].astype(jnp.float32)
+        state = state._replace(
+            e_weight=state.e_weight * keep,
+            e_weight_pose=state.e_weight_pose * keep,
+        )
+
+    return update_point_cloud(state, n, dims)
+
+
+def update_point_cloud(state: SLAMState, n: jnp.ndarray, dims: StaticDims) -> SLAMState:
+    """Static + dynamic world-point maintenance (batrack.py:821-854).
+
+    Tracks with any positive local weight are treated as static: their world
+    trajectory collapses to the BA point, and their local 2D+disp trajectory
+    is overwritten by reprojecting that point into the neighbouring frames
+    (this is what stage-3 refinement consumes).
+    """
+    NM = state.patches.shape[0]
+    M, S_local, N = dims.M, dims.S_local, dims.N
+    mid = (S_local + 1) // 2 - 1
+
+    rows = jnp.arange(NM)
+    live = rows < n * M
+
+    ix = rows // M
+    # static world points of every patch (homogeneous -> xyz)
+    P = projective.point_cloud(state.poses, state.patches, state.intrinsics, ix)
+    static_xyz = P[:, :3] / jnp.where(jnp.abs(P[:, 3:]) > 1e-8, P[:, 3:], 1e-8)
+
+    # dynamic world trajectories from the local target buffer
+    jj_w = jnp.clip(ix[:, None] + jnp.arange(S_local)[None, :] - mid, 0, N - 1)
+    flat_jj = jj_w.reshape(-1)
+    dyn_P = projective.point_cloud(
+        state.poses,
+        state.local_targets.reshape(-1, 3),
+        state.intrinsics,
+        flat_jj,
+    )
+    dyn_xyz = (dyn_P[:, :3] / jnp.where(jnp.abs(dyn_P[:, 3:]) > 1e-8, dyn_P[:, 3:], 1e-8)
+               ).reshape(NM, S_local, 3)
+
+    is_static = (state.local_weights.sum(axis=1) > 0)[:, None, None]
+    trajs_world = jnp.where(is_static, static_xyz[:, None, :], dyn_xyz)
+    trajs_world = jnp.where(live[:, None, None], trajs_world, state.trajs_world)
+
+    # reproject static points into neighbour frames -> overwrite local targets
+    G = jnp.take(state.poses, flat_jj, axis=0)
+    P_rep = jnp.repeat(P, S_local, axis=0)
+    X1 = se3.act4(G, P_rep)
+    trg = projective.proj(X1, jnp.take(state.intrinsics, flat_jj, axis=0), depth=True)
+    trg = trg.reshape(NM, S_local, 3)
+    local_targets = jnp.where(is_static & live[:, None, None], trg, state.local_targets)
+
+    return state._replace(trajs_world=trajs_world, local_targets=local_targets)

@@ -1,0 +1,83 @@
+"""SLAM adapter: wraps the Flax MDTracker as a `TrackerFn`.
+
+Handles what _compute_sparse_tracks does around the network
+(batrack.py:529-587): resize the RGB-D window to the model resolution,
+scale query coordinates in, scale track outputs back out. The query-point
+overwrite happens in the SLAM frontend (slam/frontend.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from batrack_tpu.ops.sampling import interpolate_bilinear
+from batrack_tpu.slam.frontend import TrackerInput, TrackerOutput
+from batrack_tpu.tracker.mdtracker import MDTracker, TrackerParams
+from batrack_tpu.utils.config import ModelConfig
+
+
+class MDTrackerAdapter:
+    """Jit-compiled tracker callable for the SLAM system."""
+
+    def __init__(
+        self,
+        model_cfg: ModelConfig,
+        params: Optional[dict] = None,
+        seed: int = 0,
+        dtype=jnp.float32,
+        backward_tracking: bool = False,
+    ):
+        self.p = TrackerParams.from_config(model_cfg)
+        self.model = MDTracker(self.p, dtype=dtype)
+        self.backward_tracking = backward_tracking
+        self.params = params  # {'params': ...}; random-init lazily if None
+        self._seed = seed
+        self._apply = jax.jit(self._forward)
+
+    def init_params(self, sample: TrackerInput):
+        window, queries = self._prepare(sample.window_rgbd, sample.queries)
+        self.params = self.model.init(jax.random.PRNGKey(self._seed), window, queries)
+
+    def _prepare(self, window_rgbd, queries):
+        ih, iw = self.p.interp_shape
+        S, _, H, W = window_rgbd.shape
+        window = interpolate_bilinear(window_rgbd, (ih, iw))  # (S, 4, ih, iw)
+        q = queries.at[:, 1].mul(iw / W).at[:, 2].mul(ih / H)
+        return window, q
+
+    def _forward(self, params, window_rgbd, queries):
+        ih, iw = self.p.interp_shape
+        S, _, H, W = window_rgbd.shape
+        window, q = self._prepare(window_rgbd, queries)
+        traj, depth, static3d, vis, dyn = self.model.apply(params, window, q)
+
+        scale = jnp.asarray([W / iw, H / ih], jnp.float32)
+        tracks = traj * scale[None, None, :]
+
+        if self.backward_tracking:
+            # flip the window, flip query times, fill never-seen slots
+            # (_compute_backward_tracks, batrack.py:590-629)
+            inv_window = window[::-1]
+            inv_q = q.at[:, 0].set(S - 1 - q[:, 0])
+            itraj, idepth, _, ivis, idyn = self.model.apply(params, inv_window, inv_q)
+            itraj = itraj[::-1]
+            idepth = idepth[::-1]
+            ivis = ivis[::-1]
+            idyn = idyn[::-1]
+            mask = tracks == 0.0
+            tracks = jnp.where(mask, itraj * scale[None, None, :], tracks)
+            m0 = mask[..., 0]
+            depth = jnp.where(m0, idepth, depth)
+            vis = jnp.where(m0, ivis, vis)
+            dyn = jnp.where(m0, idyn, dyn)
+
+        return TrackerOutput(tracks=tracks, depths=depth, vis=vis, dynamic=dyn)
+
+    def __call__(self, tin: TrackerInput) -> TrackerOutput:
+        if self.params is None:
+            self.init_params(tin)
+        return self._apply(self.params, tin.window_rgbd, tin.queries)

@@ -1,0 +1,202 @@
+"""Tracker building blocks in Flax: conv encoder + factorized transformer.
+
+Architectural mirror of main/frontend/core/cotracker/blocks.py (BasicEncoder
+:133-277, AttnBlock :280-305, UpdateFormer :388-457, MotionLabelBlock
+:461-499) so the released md_tracker.pth checkpoint converts weight-for-weight
+(see tracker/convert.py). Layouts are NHWC/channels-last as XLA prefers on
+TPU; the converter transposes torch kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from batrack_tpu.ops.sampling import interpolate_bilinear
+
+
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """torch InstanceNorm2d(affine=False) over NHWC input."""
+    mean = x.mean(axis=(1, 2), keepdims=True)
+    var = x.var(axis=(1, 2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def layer_norm(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """LayerNorm(elementwise_affine=False)."""
+    mean = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+class ResidualBlock(nn.Module):
+    """blocks.py:16-75 with norm_fn='instance' (the config used)."""
+
+    planes: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
+                    name="conv1", dtype=self.dtype)(x)
+        y = nn.relu(instance_norm(y))
+        y = nn.Conv(self.planes, (3, 3), padding=1, name="conv2", dtype=self.dtype)(y)
+        y = nn.relu(instance_norm(y))
+        if self.stride != 1:
+            x = nn.Conv(self.planes, (1, 1), strides=self.stride,
+                        name="downsample", dtype=self.dtype)(x)
+            x = instance_norm(x)
+        return nn.relu(x + y)
+
+
+class BasicEncoder(nn.Module):
+    """Four-stage conv pyramid fused at stride-4 (blocks.py:133-277)."""
+
+    output_dim: int = 128
+    stride: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, H, W, C_in)
+        H, W = x.shape[1], x.shape[2]
+        out_hw = (H // self.stride, W // self.stride)
+
+        x = nn.Conv(64, (7, 7), strides=2, padding=3, name="conv1", dtype=self.dtype)(x)
+        x = nn.relu(instance_norm(x))
+
+        a = ResidualBlock(64, 1, self.dtype, name="layer1_0")(x)
+        a = ResidualBlock(64, 1, self.dtype, name="layer1_1")(a)
+        b = ResidualBlock(96, 2, self.dtype, name="layer2_0")(a)
+        b = ResidualBlock(96, 1, self.dtype, name="layer2_1")(b)
+        c = ResidualBlock(128, 2, self.dtype, name="layer3_0")(b)
+        c = ResidualBlock(128, 1, self.dtype, name="layer3_1")(c)
+        d = ResidualBlock(128, 2, self.dtype, name="layer4_0")(c)
+        d = ResidualBlock(128, 1, self.dtype, name="layer4_1")(d)
+
+        def up(t):
+            # bilinear, align_corners=True (blocks.py:245-268)
+            t = jnp.moveaxis(t, -1, 1)  # NHWC -> NCHW for resize helper
+            t = interpolate_bilinear(t, out_hw, align_corners=True)
+            return jnp.moveaxis(t, 1, -1)
+
+        x = jnp.concatenate([up(a), up(b), up(c), up(d)], axis=-1)
+        x = nn.Conv(self.output_dim * 2, (3, 3), padding=1, name="conv2",
+                    dtype=self.dtype)(x)
+        x = nn.relu(instance_norm(x))
+        x = nn.Conv(self.output_dim, (1, 1), name="conv3", dtype=self.dtype)(x)
+        return x
+
+
+class Attention(nn.Module):
+    """timm vision_transformer Attention (qkv_bias=True)."""
+
+    dim: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, C = x.shape
+        head = C // self.num_heads
+        qkv = nn.Dense(3 * C, name="qkv", dtype=self.dtype)(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head)
+        q, k, v = jnp.moveaxis(qkv, 2, 0)
+        q = jnp.moveaxis(q, 1, 2)  # (B, h, N, d)
+        k = jnp.moveaxis(k, 1, 2)
+        v = jnp.moveaxis(v, 1, 2)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (head ** -0.5)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = jnp.moveaxis(out, 1, 2).reshape(B, N, C)
+        return nn.Dense(C, name="proj", dtype=self.dtype)(out)
+
+
+class Mlp(nn.Module):
+    """timm Mlp with tanh-approx GELU."""
+
+    hidden: int
+    out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, name="fc1", dtype=self.dtype)(x)
+        x = nn.gelu(x, approximate=True)
+        return nn.Dense(self.out, name="fc2", dtype=self.dtype)(x)
+
+
+class AttnBlock(nn.Module):
+    """Pre-norm transformer block (blocks.py:280-305)."""
+
+    hidden_size: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x + Attention(self.hidden_size, self.num_heads, self.dtype,
+                          name="attn")(layer_norm(x))
+        x = x + Mlp(int(self.hidden_size * self.mlp_ratio), self.hidden_size,
+                    self.dtype, name="mlp")(layer_norm(x))
+        return x
+
+
+class UpdateFormer(nn.Module):
+    """Factorized time/space transformer (blocks.py:388-457)."""
+
+    space_depth: int = 6
+    time_depth: int = 6
+    input_dim: int = 456
+    hidden_size: int = 384
+    num_heads: int = 8
+    output_dim: int = 131
+    mlp_ratio: float = 4.0
+    add_space_attn: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, N, T, input_dim)
+        B, N, T, _ = x.shape
+        x = nn.Dense(self.hidden_size, name="input_transform", dtype=self.dtype)(x)
+
+        j = 0
+        interval = self.time_depth // self.space_depth if self.add_space_attn else 0
+        for i in range(self.time_depth):
+            xt = x.reshape(B * N, T, self.hidden_size)
+            xt = AttnBlock(self.hidden_size, self.num_heads, self.mlp_ratio,
+                           self.dtype, name=f"time_blocks_{i}")(xt)
+            x = xt.reshape(B, N, T, self.hidden_size)
+            if self.add_space_attn and i % interval == 0:
+                xs = jnp.moveaxis(x, 1, 2).reshape(B * T, N, self.hidden_size)
+                xs = AttnBlock(self.hidden_size, self.num_heads, self.mlp_ratio,
+                               self.dtype, name=f"space_blocks_{j}")(xs)
+                x = jnp.moveaxis(xs.reshape(B, T, N, self.hidden_size), 1, 2)
+                j += 1
+
+        return nn.Dense(self.output_dim, name="flow_head", dtype=self.dtype)(x)
+
+
+class MotionLabelMLP(nn.Module):
+    """Per-track dynamic-motion logit (blocks.py:461-485, mlp_v1).
+
+    Note the reference pools with AvgPool1d(kernel_size=S_cfg) where S_cfg=8
+    while the sequence length is 12: only the first 8 frames are averaged.
+    """
+
+    hidden_dim: int = 256
+    pool_S: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, S, N, C) -> (B, N, 1)
+        x = Mlp(self.hidden_dim, 1, self.dtype, name="mlp")(x)  # (B, S, N, 1)
+        x = jnp.moveaxis(x[..., 0], 1, 2)                       # (B, N, S)
+        return x[..., : self.pool_S].mean(axis=-1, keepdims=True)

@@ -1,0 +1,150 @@
+"""End-to-end SLAM skeleton test on a synthetic scene (SURVEY.md §4d/§7:
+deterministic synthetic RGBD sequence with an oracle tracker exercising
+patches, factor graph, dual BA, ring removal, terminate and export)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from batrack_tpu.geometry import se3
+from batrack_tpu.slam import BATrack, OracleTracker, StaticDims
+from batrack_tpu.utils.config import Config
+
+HT, WD = 48, 64
+INTR = np.array([60.0, 60.0, WD / 2, HT / 2], np.float32)
+PLANE_Z = 5.0
+T_FRAMES = 24
+
+
+def small_config() -> Config:
+    cfg = Config()
+    s = cfg.slam
+    s.BUFFER_SIZE = 64
+    s.PATCHES_PER_FRAME = 16
+    s.PATCH_GEN = "grid_grad_4"
+    s.S_slam = 4
+    s.kf_stride = 2
+    s.num_init = 4
+    s.REMOVAL_WINDOW = 6
+    s.OPTIMIZATION_WINDOW = 5
+    s.MIN_TRACK_LEN = 2
+    s.BOUNDARY_PADDING = 2
+    s.ITER = 2
+    # ep=10 is tuned for ~500px-focal images; this synthetic scene has a ~100x
+    # smaller Hessian, so scale the damping down accordingly
+    s.BA_EP = 0.1
+    return cfg
+
+
+def gt_trajectory(T: int) -> np.ndarray:
+    """Smooth w2c trajectory; frame 0 at identity."""
+    ts = np.arange(T, dtype=np.float32)
+    xi = np.stack(
+        [
+            0.08 * ts,                      # forward-ish x translation
+            0.03 * np.sin(ts * 0.3),
+            0.02 * ts,
+            0.01 * np.sin(ts * 0.2),
+            0.015 * np.cos(ts * 0.25) - 0.015,
+            0.005 * ts * 0,
+        ],
+        axis=-1,
+    )
+    return np.asarray(se3.exp(jnp.asarray(xi)), np.float32)
+
+
+def plane_depth(pose_w2c: np.ndarray) -> np.ndarray:
+    """Depth map of the world plane z = PLANE_Z seen from pose (w2c)."""
+    fx, fy, cx, cy = INTR
+    u, v = np.meshgrid(np.arange(WD), np.arange(HT))
+    dirc = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u, np.float32)], -1)
+    c2w = np.asarray(se3.inv(jnp.asarray(pose_w2c)))
+    R = np.asarray(se3.matrix(jnp.asarray(c2w)))[:3, :3]
+    t = c2w[:3]
+    dir_w = dirc @ R.T
+    s = (PLANE_Z - t[2]) / dir_w[..., 2]
+    return s.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.default_rng(3)
+    poses = gt_trajectory(T_FRAMES)
+    depths = np.stack([plane_depth(p) for p in poses])
+    images = rng.uniform(0, 255, size=(T_FRAMES, HT, WD, 3)).astype(np.float32)
+    return poses, depths, images
+
+
+def run_slam(scene, noise=0.0):
+    poses_gt, depths, images = scene
+    cfg = small_config()
+    dims = StaticDims.from_config(cfg, HT, WD)
+    slam = BATrack(cfg, HT, WD, seed=0)
+    slam.tracker = OracleTracker(poses_gt, INTR, dims, noise=noise)
+    for t in range(T_FRAMES):
+        slam(t, images[t], depths[t], INTR)
+    return slam
+
+
+def ate_rmse(pred_c2w_tum: np.ndarray, gt_w2c: np.ndarray) -> float:
+    gt_c2w = np.asarray(se3.inv(jnp.asarray(gt_w2c)))
+    return float(
+        np.sqrt(np.mean(np.sum((pred_c2w_tum[:, :3] - gt_c2w[:, :3]) ** 2, -1)))
+    )
+
+
+class TestSlamEndToEnd:
+    def test_pose_recovery(self, scene):
+        slam = run_slam(scene)
+        poses_tum, tstamps = slam.terminate()
+        assert poses_tum.shape == (T_FRAMES, 7)
+        assert tstamps.shape == (T_FRAMES,)
+        err = ate_rmse(poses_tum, scene[0])
+        # oracle tracks + gt depth: trajectory recovered to centimetres on a
+        # path metres long
+        assert err < 0.05, err
+
+    def test_pose_recovery_with_noise(self, scene):
+        # 0.1 px noise at fx=60 is ~8x the angular noise of 1 px at real
+        # focal lengths; tolerance reflects that amplification
+        slam = run_slam(scene, noise=0.1)
+        poses_tum, _ = slam.terminate()
+        err = ate_rmse(poses_tum, scene[0])
+        assert err < 0.4, err
+
+    def test_results_schema(self, scene, tmp_path):
+        slam = run_slam(scene)
+        res = slam.get_results(save_path=str(tmp_path / "results.pkl"))
+        C, M, S_local = T_FRAMES, 16, slam.dims.S_local
+        assert res["cams_T_world"].shape == (C, 4, 4)
+        assert res["intrinsics"].shape == (C, 4)
+        assert res["trajs_2d_disp"].shape == (C, M, S_local, 3)
+        assert res["trajs_valid"].shape == (C, M)
+        assert res["trajs_static"].shape == (C, M, S_local)
+        assert res["trajs_vis"].shape == (C, M, S_local)
+        assert res["trajs_valid"].any()
+        import pickle
+
+        with open(tmp_path / "results.pkl", "rb") as f:
+            loaded = pickle.load(f)
+        assert set(loaded) == set(res)
+
+    def test_static_points_on_plane(self, scene):
+        """BA world points must lie near the synthetic plane z = PLANE_Z."""
+        slam = run_slam(scene)
+        from batrack_tpu.geometry import projective
+
+        state = slam.state
+        n = slam.n
+        rows = np.arange(n * slam.dims.M)
+        P = np.asarray(
+            projective.point_cloud(
+                state.poses, state.patches[: n * slam.dims.M], state.intrinsics,
+                jnp.asarray(rows // slam.dims.M),
+            )
+        )
+        xyz = P[:, :3] / P[:, 3:]
+        w = np.asarray(state.patches_valid[: n * slam.dims.M]) > 0
+        assert w.sum() > 50
+        z_err = np.abs(xyz[w][:, 2] - PLANE_Z)
+        assert np.median(z_err) < 0.2, np.median(z_err)
