@@ -123,9 +123,9 @@ def matrix_to_quat(m: jnp.ndarray) -> jnp.ndarray:
 def so3_exp(phi: jnp.ndarray) -> jnp.ndarray:
     """Axis-angle 3-vector -> unit quaternion, stable near zero."""
     theta_sq = jnp.sum(phi * phi, axis=-1, keepdims=True)
-    theta = jnp.sqrt(jnp.maximum(theta_sq, 1e-24))
-    half = 0.5 * theta
     small = theta_sq < _EPS
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta_sq))
+    half = 0.5 * theta
     # sin(theta/2)/theta: Taylor 1/2 - theta^2/48
     k = jnp.where(small, 0.5 - theta_sq / 48.0, jnp.sin(half) / theta)
     w = jnp.where(small, 1.0 - theta_sq / 8.0, jnp.cos(half))
@@ -137,8 +137,8 @@ def so3_log(q: jnp.ndarray) -> jnp.ndarray:
     qv = q[..., :3]
     w = q[..., 3:4]
     n_sq = jnp.sum(qv * qv, axis=-1, keepdims=True)
-    n = jnp.sqrt(jnp.maximum(n_sq, 1e-24))
     small = n_sq < _EPS
+    n = jnp.sqrt(jnp.where(small, 1.0, n_sq))
     # 2*atan2(n, w)/n ; Taylor (w>0 branch): 2/w - 2 n^2/(3 w^3)
     w_safe = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
     k = jnp.where(small, 2.0 / w_safe - 2.0 * n_sq / (3.0 * w_safe**3),
@@ -155,12 +155,18 @@ def hat(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def _so3_left_jacobian_coeffs(theta_sq: jnp.ndarray):
-    """Coefficients (a, b) for V = I + a*hat + b*hat^2, stable near zero."""
-    theta = jnp.sqrt(jnp.maximum(theta_sq, 1e-24))
+    """Coefficients (a, b) for V = I + a*hat + b*hat^2, stable near zero.
+
+    Untaken `where` branches are evaluated AND differentiated by autodiff, so
+    their denominators must be guarded (the double-where trick) or gradients
+    at theta = 0 become NaN.
+    """
     small = theta_sq < _EPS
-    a = jnp.where(small, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(theta)) / theta_sq)
+    tsq = jnp.where(small, 1.0, theta_sq)
+    theta = jnp.sqrt(tsq)
+    a = jnp.where(small, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(theta)) / tsq)
     b = jnp.where(small, 1.0 / 6.0 - theta_sq / 120.0,
-                  (theta - jnp.sin(theta)) / (theta_sq * theta))
+                  (theta - jnp.sin(theta)) / (tsq * theta))
     return a, b
 
 
@@ -176,13 +182,14 @@ def so3_left_jacobian(phi: jnp.ndarray) -> jnp.ndarray:
 def so3_left_jacobian_inverse(phi: jnp.ndarray) -> jnp.ndarray:
     """Inverse SO(3) left Jacobian V^-1(phi): (..., 3, 3)."""
     theta_sq = jnp.sum(phi * phi, axis=-1)[..., None, None]
-    theta = jnp.sqrt(jnp.maximum(theta_sq, 1e-24))
     small = theta_sq < _EPS
+    tsq = jnp.where(small, 1.0, theta_sq)
+    theta = jnp.sqrt(tsq)
     half = 0.5 * theta
     # c = 1/theta^2 - cos(theta/2)/(2 theta sin(theta/2));  Taylor: 1/12 + theta^2/720
     cot = jnp.cos(half) / jnp.where(small, 1.0, jnp.sin(half))
     c = jnp.where(small, 1.0 / 12.0 + theta_sq / 720.0,
-                  1.0 / theta_sq - cot / (2.0 * theta))
+                  1.0 / tsq - cot / (2.0 * theta))
     P = hat(phi)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), P.shape)
     return eye - 0.5 * P + c * mm(P, P)

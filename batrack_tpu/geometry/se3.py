@@ -149,14 +149,15 @@ def from_matrix(m: jnp.ndarray) -> jnp.ndarray:
 def _se3_Q(tau: jnp.ndarray, phi: jnp.ndarray) -> jnp.ndarray:
     """Barfoot Q(tau, phi) block of the SE(3) left Jacobian."""
     theta_sq = jnp.sum(phi * phi, axis=-1)[..., None, None]
-    theta = jnp.sqrt(jnp.maximum(theta_sq, 1e-24))
     small = theta_sq < _EPS
+    tsq = jnp.where(small, 1.0, theta_sq)  # guard untaken-branch denominators
+    theta = jnp.sqrt(tsq)
     s, c = jnp.sin(theta), jnp.cos(theta)
-    c1 = jnp.where(small, 1.0 / 6.0 - theta_sq / 120.0, (theta - s) / (theta_sq * theta))
+    c1 = jnp.where(small, 1.0 / 6.0 - theta_sq / 120.0, (theta - s) / (tsq * theta))
     c2 = jnp.where(small, 1.0 / 24.0 - theta_sq / 720.0,
-                   (theta_sq / 2.0 + c - 1.0) / (theta_sq * theta_sq))
+                   (theta_sq / 2.0 + c - 1.0) / (tsq * tsq))
     c3 = jnp.where(small, 1.0 / 120.0 - theta_sq / 2520.0,
-                   (theta - s - theta * theta_sq / 6.0) / (-(theta_sq ** 2) * theta) * -1.0)
+                   (theta - s - theta * theta_sq / 6.0) / (tsq ** 2 * theta))
     # c3 = (theta - sin - theta^3/6)/theta^5
     T = hat(tau)
     P = hat(phi)

@@ -138,16 +138,17 @@ class VisualizerConfig:
 @dataclass
 class RefineConfig:
     # stage-3 global alignment (run_global_refine.py:48-67)
-    grid_size: int = 16
+    # defaults follow the reference CLI (run_global_refine.py:50-67)
+    grid_size: int = 10
     lr: float = 0.01
-    niter: int = 300
+    niter: int = 200
     schedule: str = "cosine"
     alpha: float = 0.5
-    spatial_loss: float = 1.0
-    inter_frame_loss: float = 0.1
-    cam_smooth_vec_loss: float = 0.0
+    spatial_loss: float = 5.0
+    inter_frame_loss: float = 0.3
+    cam_smooth_vec_loss: float = 1.0
     pts_3d_loss: float = 1.0
-    scale_smoothness_loss: float = 0.1
+    scale_smoothness_loss: float = 0.3
     fixed_pose: bool = False
     fixed_K: bool = True
 
