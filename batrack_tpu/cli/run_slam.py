@@ -1,0 +1,148 @@
+"""Sparse SLAM CLI (stage 2) — the reference's main/run_batrack.py equivalent.
+
+Usage:
+    python -m batrack_tpu.cli.run_slam --config configs/davis_demo.yaml \
+        data.imagedir=... data.depthdir=... data.savedir=... data.name=...
+
+Hydra-style `a.b=c` overrides are accepted after the flags.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+import numpy as np
+
+logging.basicConfig(level=logging.INFO, format="%(asctime)s - %(levelname)s - %(message)s")
+logger = logging.getLogger(__name__)
+
+
+def build_stream(cfg):
+    from batrack_tpu.data import (
+        dataset_rgbd_stream,
+        davis_stream,
+        sintel_rgbd_stream,
+        tartanair_rgbd_stream,
+    )
+
+    d = cfg.data
+    depthdir_gt = d.depthdir_gt or d.depthdir
+    if d.traj_format == "sintel":
+        return sintel_rgbd_stream(
+            d.imagedir, d.depthdir, depthdir_gt, d.calib, d.stride, d.skip, d.end,
+            d.input_intrinsics,
+        )
+    if d.traj_format == "tartanair":
+        return tartanair_rgbd_stream(
+            d.imagedir, d.depthdir, depthdir_gt, d.calib, d.stride, d.skip, d.end
+        )
+    if d.traj_format == "davis":
+        return davis_stream(d.imagedir, d.depthdir, d.calib, d.stride, d.skip, d.end)
+    return dataset_rgbd_stream(
+        d.imagedir, d.depthdir, d.calib, d.stride, d.skip, mode=d.traj_format
+    )
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", default=None, help="YAML config path")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("overrides", nargs="*", help="key=value overrides")
+    args = parser.parse_args(argv)
+
+    from batrack_tpu.utils.config import load_config
+
+    cfg = load_config(args.config, args.overrides)
+
+    from batrack_tpu.slam import BATrack
+    from batrack_tpu.tracker import MDTrackerAdapter, load_checkpoint
+    from batrack_tpu.utils.evaluation import eval_metrics
+    from batrack_tpu.utils.traj import (
+        load_traj,
+        plot_trajectory,
+        save_trajectory_tum_format,
+    )
+
+    params = None
+    if cfg.model.init_dir:
+        logger.info("loading tracker checkpoint %s", cfg.model.init_dir)
+        params = load_checkpoint(
+            cfg.model.init_dir,
+            time_depth=cfg.model.time_depth,
+            space_depth=cfg.model.space_depth,
+            time_depth_dyn=cfg.model.time_depth_dyn,
+            space_depth_dyn=cfg.model.space_depth_dyn,
+        )
+
+    slam = None
+    image_list, depth_list, depth_list_gt = [], [], []
+    start = time.time()
+    for t, image, depth, depth_gt, intrinsics in build_stream(cfg):
+        if (isinstance(t, (int, np.integer)) and t == -1) or t == "-1":
+            break
+        depth = np.clip(depth, 1e-2, 1e2)
+        image_list.append(image)
+        depth_list.append(depth)
+        depth_list_gt.append(depth_gt)
+        if slam is None:
+            ht, wd = image.shape[:2]
+            slam = BATrack(cfg, ht, wd, seed=args.seed)
+            slam.tracker = MDTrackerAdapter(
+                cfg.model, params=params,
+                backward_tracking=cfg.slam.backward_tracking
+                and cfg.slam.S_slam > cfg.model.S,
+            )
+        slam(t, image, depth, intrinsics)
+
+    total = time.time() - start
+    nf = len(image_list)
+    logger.info("Total time: %.2f s | FPS: %.2f | s/frame: %.4f", total, nf / total, total / nf)
+
+    pred_traj = slam.terminate()
+
+    gt_traj = None
+    if cfg.data.gt_traj:
+        gt_traj = load_traj(
+            cfg.data.gt_traj, cfg.data.traj_format,
+            skip=cfg.data.skip, stride=cfg.data.stride, end=cfg.data.end,
+        )
+
+    outdir = os.path.join(cfg.data.savedir, cfg.data.name)
+    os.makedirs(outdir, exist_ok=True)
+
+    if cfg.save_results:
+        slam.get_results(
+            rgbs=image_list, dmaps=depth_list, dmaps_gt=depth_list_gt,
+            save_path=os.path.join(outdir, "results.pkl"),
+        )
+        logger.info("results saved to %s", os.path.join(outdir, "results.pkl"))
+
+    if cfg.save_trajectory:
+        save_trajectory_tum_format(pred_traj, os.path.join(outdir, "batrack_traj.txt"))
+
+    if cfg.save_plot:
+        plot_trajectory(
+            pred_traj, gt_traj=gt_traj,
+            title=f"Trajectory Prediction for {cfg.exp_name}",
+            filename=os.path.join(outdir, "traj_plot.pdf"),
+        )
+
+    if gt_traj is not None:
+        ate, rpe_t, rpe_r = eval_metrics(
+            pred_traj, gt_traj=gt_traj, seq=cfg.exp_name,
+            filename=os.path.join(outdir, "eval_metrics.txt"),
+        )
+        with open(os.path.join(cfg.data.savedir, "error_sum.txt"), "a+") as f:
+            f.write(
+                f"{cfg.data.name:<20} | ATE: {ate:.5f}, RPE trans: {rpe_t:.5f}, "
+                f"RPE rot: {rpe_r:.5f}\n{ate:.5f}\n{rpe_t:.5f}\n{rpe_r:.5f}\n"
+            )
+        logger.info("ATE %.5f | RPE trans %.5f | RPE rot %.5f", ate, rpe_t, rpe_r)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
