@@ -79,12 +79,19 @@ def ba_iteration(
     alpha: float = 0.05,
     loss: str = "huber",
     structure_only: bool = False,
+    axis_name: str | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One damped Gauss-Newton step. Returns (poses, patches) updated.
 
     window:       static bound W on free poses (>= OPTIMIZATION_WINDOW).
     patch_window: static bound (frames) on patches with active edges
                   (>= REMOVAL_WINDOW).
+    axis_name:    if set (under shard_map with the edge arrays sharded over
+                  this mesh axis), the assembled normal-equation blocks are
+                  psum-reduced across shards before the replicated solve —
+                  the distributed-Schur design of SURVEY.md §5: only reduced
+                  (W,W,6,6)/(W,K,6) blocks cross the interconnect, never raw
+                  edges.
     """
     W = window
     M = patches_per_frame
@@ -144,12 +151,17 @@ def ba_iteration(
         b_in = (b >= 0) & (b < W)
         return jnp.where(a_in & b_in, a * W + b, W * W)
 
-    B = (
-        seg(Bii, pose_pair_id(i_loc, i_loc), W * W + 1)
-        + seg(Bij, pose_pair_id(i_loc, j_loc), W * W + 1)
-        + seg(Bji, pose_pair_id(j_loc, i_loc), W * W + 1)
-        + seg(Bjj, pose_pair_id(j_loc, j_loc), W * W + 1)
-    )[: W * W].reshape(W, W, 6, 6)
+    # The pose-Hessian assembly reduces 4E (6,6) blocks into W^2 buckets.
+    # On TPU a one-hot matmul keeps this on the MXU; segment_sum lowers to a
+    # sort-based scatter that measures ~17 ms per call at SLAM sizes vs ~0
+    # for the matmul formulation.
+    pair_ids = jnp.concatenate([
+        pose_pair_id(i_loc, i_loc), pose_pair_id(i_loc, j_loc),
+        pose_pair_id(j_loc, i_loc), pose_pair_id(j_loc, j_loc),
+    ])
+    blocks = jnp.concatenate([Bii, Bij, Bji, Bjj]).reshape(-1, 36)
+    onehot = jax.nn.one_hot(pair_ids, W * W, dtype=blocks.dtype, axis=0)
+    B = jnp.matmul(onehot, blocks, precision=_HI).reshape(W, W, 6, 6)
 
     def pose_patch_id(a):
         a_in = (a >= 0) & (a < W)
@@ -166,7 +178,17 @@ def ba_iteration(
     def pose_id(a):
         return jnp.where((a >= 0) & (a < W), a, W)
 
-    vvec = (seg(vi, pose_id(i_loc), W + 1) + seg(vj, pose_id(j_loc), W + 1))[:W]
+    v_ids = jnp.concatenate([pose_id(i_loc), pose_id(j_loc)])
+    v_onehot = jax.nn.one_hot(v_ids, W, dtype=vi.dtype, axis=0)
+    vvec = jnp.matmul(v_onehot, jnp.concatenate([vi, vj]), precision=_HI)
+
+    # distributed reduction: edge shards contribute partial sums
+    if axis_name is not None:
+        B = jax.lax.psum(B, axis_name)
+        E_mat = jax.lax.psum(E_mat, axis_name)
+        C = jax.lax.psum(C, axis_name)
+        wvec = jax.lax.psum(wvec, axis_name)
+        vvec = jax.lax.psum(vvec, axis_name)
 
     # mono-disparity prior on the depth blocks (ba.py:294-308)
     patch_ids = prob.base_k + jnp.arange(K)
@@ -180,7 +202,10 @@ def ba_iteration(
     # only patches with at least one live edge receive an update: the
     # reference restricts the system to unique kk (ba.py:276); without this
     # mask edge-less patches would be dragged to the mono prior every call.
-    has_edge = seg(v * prob.valid, k_id, K + 1)[:K] > 0
+    edge_counts = seg(v * prob.valid, k_id, K + 1)[:K]
+    if axis_name is not None:
+        edge_counts = jax.lax.psum(edge_counts, axis_name)
+    has_edge = edge_counts > 0
     Q = 1.0 / C_adj
 
     if structure_only:

@@ -1,0 +1,187 @@
+"""Pallas TPU kernel: fused correlation-window sampling.
+
+The tracker needs, for every track and frame, the dot product of the track
+feature with a bilinearly-sampled (2r+1)^2 window of the feature map — the
+op the reference implements as cuda_corr (altcorr/correlation_kernel.cu) and
+the CorrBlock materialises as an all-pairs volume (blocks.py:326-385).
+
+XLA's gather for this access pattern measures ~80 ms per pyramid call at SLAM
+sizes. This kernel keeps one frame's feature map resident in VMEM (bf16, a
+few MB) and walks the tracks, so HBM sees each feature map exactly once.
+
+Mosaic constraints shape the implementation:
+  * dynamic offsets on the sublane (second-minor) axis must be 8-aligned, so
+    the window load takes an aligned 16-wide slab and the residual horizontal
+    shift is folded into the bilinear blend as a small iota-built selection
+    matmul;
+  * vector loads/stores at per-track offsets are done in aligned groups of
+    8 tracks (statically unrolled within the group);
+  * per-track coordinates are scalars and live in SMEM where dynamic
+    indexing is unrestricted.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GROUP = 8
+
+
+def _corr_kernel(coords_ref, targets_ref, fmap_ref, out_ref, *, radius,
+                 block_n, out_dim, Hp, Wp):
+    """One (frame, track-block) program."""
+    D = 2 * radius + 2          # integer taps per axis
+    d = 2 * radius + 1          # blended outputs per axis
+    SLAB = ((D + 7) // 8 + 1) * 8  # aligned horizontal slab (covers D + shift)
+    C = fmap_ref.shape[-1]
+    inv = np.float32(1.0 / np.sqrt(np.float32(C)))
+
+    # fmap is pre-padded by PAD = 2r+2 edge-replicated rows/cols; clamping the
+    # integer centre to [-(r+1), dim-1+r+1] reproduces the reference's per-tap
+    # index clamping exactly while bilinear weights keep the unclamped
+    # fractional part.
+    PAD = 2 * radius + 2
+
+    # static row-blend matrix: out rows q = (1-dy)*row[q] + dy*row[q+1]
+    row_q = jax.lax.broadcasted_iota(jnp.int32, (d, D), 0)
+    row_p = jax.lax.broadcasted_iota(jnp.int32, (d, D), 1)
+
+    col_p = jax.lax.broadcasted_iota(jnp.int32, (SLAB, d), 0)
+    col_q = jax.lax.broadcasted_iota(jnp.int32, (SLAB, d), 1)
+
+    def body(g, _):
+        base = pl.multiple_of(g * GROUP, GROUP)
+        tg = targets_ref[0, pl.ds(base, GROUP), :]  # (GROUP, C) aligned
+
+        rows = []
+        for k in range(GROUP):
+            cx = coords_ref[0, base + k, 0]
+            cy = coords_ref[0, base + k, 1]
+            x0 = jnp.floor(cx)
+            y0 = jnp.floor(cy)
+            dx = cx - x0
+            dy = cy - y0
+            xc = jnp.clip(x0.astype(jnp.int32), -(radius + 1), Wp + radius)
+            yc = jnp.clip(y0.astype(jnp.int32), -(radius + 1), Hp + radius)
+            xi = xc + (PAD - radius)   # padded col of tap (x0 - r)
+            yi = yc + (PAD - radius)
+            xa = pl.multiple_of((xi // 8) * 8, 8)
+            off = xi - xa              # in [0, 8)
+
+            win = fmap_ref[0, pl.ds(yi, D), pl.ds(xa, SLAB), :]  # (D, SLAB, C)
+            corr = jnp.sum(
+                win.astype(jnp.float32) * tg[k][None, None, :].astype(jnp.float32),
+                axis=-1,
+            ) * inv                                              # (D, SLAB)
+
+            # horizontal: select cols off..off+d and blend with dx in one
+            # matmul  (SLAB, d): S[p, q] = (1-dx)[p==q+off] + dx[p==q+off+1]
+            sel = ((col_p == col_q + off).astype(jnp.float32) * (1.0 - dx)
+                   + (col_p == col_q + off + 1).astype(jnp.float32) * dx)
+            cx_blend = jnp.dot(corr, sel, preferred_element_type=jnp.float32)
+            # vertical: (d, D) banded blend with dy
+            sy = ((row_p == row_q).astype(jnp.float32) * (1.0 - dy)
+                  + (row_p == row_q + 1).astype(jnp.float32) * dy)
+            out = jnp.dot(sy, cx_blend, preferred_element_type=jnp.float32)
+            # Mosaic cannot reshape (d, d) -> (d*d,); emit lane-padded rows
+            # and flatten outside the kernel
+            rows.append(jnp.pad(out, ((0, 0), (0, out_dim - d)))[None])
+
+        out_ref[0, pl.ds(base, GROUP), :, :] = jnp.concatenate(rows, axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, block_n // GROUP, body, 0)
+
+
+def corr_sample_level_pallas(
+    fmaps: jnp.ndarray,    # (S, C, H, W)
+    targets: jnp.ndarray,  # (S, N, C)
+    coords: jnp.ndarray,   # (S, N, 2) at this level's resolution
+    radius: int,
+    block_n: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused correlation sampling for one pyramid level: (S, N, (2r+1)^2).
+
+    Numerically matches ops.corr.corr_sample_level (clamped-border bilinear
+    window times feature, scaled by 1/sqrt(C)) with the feature map read in
+    bf16 (f32 accumulation).
+    """
+    S, C, H, W = fmaps.shape
+    N = targets.shape[1]
+    d = 2 * radius + 1
+    out_dim = 128  # lane-padded row width per output window row
+
+    pad = 2 * radius + 2
+    fm = jnp.moveaxis(fmaps, 1, -1)  # (S, H, W, C)
+    # the horizontal slab is SLAB-wide from an 8-aligned start, so the right
+    # padding must absorb alignment + slab overshoot (and keep the sublane
+    # dim a multiple of 8); extra edge columns are never selected.
+    slab = ((2 * radius + 2 + 7) // 8 + 1) * 8
+    w_total = -((-(W + 2 * pad + slab)) // 8) * 8
+    fm = jnp.pad(
+        fm, ((0, 0), (pad, pad), (pad, w_total - W - pad), (0, 0)), mode="edge"
+    )
+    # bf16 residency: a full f32 frame double-buffered exceeds the ~16 MB
+    # VMEM budget at SLAM sizes; the contraction accumulates in f32.
+    fm = fm.astype(jnp.bfloat16)
+
+    n_pad = (-N) % block_n
+    coords_p = jnp.pad(coords, ((0, 0), (0, n_pad), (0, 0))) if n_pad else coords
+    targets_p = jnp.pad(targets, ((0, 0), (0, n_pad), (0, 0))) if n_pad else targets
+    Np = N + n_pad
+
+    grid = (S, Np // block_n)
+    out = pl.pallas_call(
+        functools.partial(
+            _corr_kernel, radius=radius, block_n=block_n, out_dim=out_dim,
+            Hp=H, Wp=W,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_n, 2), lambda s, nb: (s, nb, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_n, C), lambda s, nb: (s, nb, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, fm.shape[1], fm.shape[2], C), lambda s, nb: (s, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_n, d, out_dim), lambda s, nb: (s, nb, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((S, Np, d, out_dim), jnp.float32),
+        interpret=interpret,
+    )(coords_p, targets_p, fm)
+
+    return out[:, :N, :, :d].reshape(S, N, d * d)
+
+
+def corr_sample_pyramid_pallas(
+    pyramid: Sequence[jnp.ndarray],  # [(S, C, H_l, W_l)]
+    targets: jnp.ndarray,            # (S, N, C)
+    coords: jnp.ndarray,             # (S, N, 2) at level-0 resolution
+    radius: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in replacement for ops.corr.corr_sample_pyramid."""
+    outs = [
+        corr_sample_level_pallas(
+            fm, targets, coords / (2.0 ** lvl), radius, interpret=interpret
+        )
+        for lvl, fm in enumerate(pyramid)
+    ]
+    return jnp.concatenate(outs, axis=-1)

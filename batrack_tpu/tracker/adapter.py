@@ -28,10 +28,18 @@ class MDTrackerAdapter:
         model_cfg: ModelConfig,
         params: Optional[dict] = None,
         seed: int = 0,
-        dtype=jnp.float32,
+        dtype=None,
         backward_tracking: bool = False,
     ):
+        import jax as _jax
+
         self.p = TrackerParams.from_config(model_cfg)
+        if dtype is None:
+            dtype = jnp.dtype(model_cfg.compute_dtype)
+        on_tpu = _jax.default_backend() not in ("cpu", "gpu")
+        if model_cfg.use_pallas_corr and not on_tpu:
+            # the fused kernel is TPU-only; fall back to the XLA path
+            self.p = self.p._replace(use_pallas_corr=False)
         self.model = MDTracker(self.p, dtype=dtype)
         self.backward_tracking = backward_tracking
         self.params = params  # {'params': ...}; random-init lazily if None

@@ -29,13 +29,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from batrack_tpu.ops.corr import build_pyramid, corr_sample_pyramid
+from batrack_tpu.ops.pallas_corr import corr_sample_pyramid_pallas
 from batrack_tpu.ops.embeddings import (
     FourierEmbedder,
     get_1d_sincos_pos_embed_from_grid,
     get_2d_sincos_pos_embed,
     get_3d_embedding,
 )
-from batrack_tpu.ops.sampling import bilinear_sample2d, interpolate_bilinear
+from batrack_tpu.ops.sampling import (
+    bilinear_sample2d,
+    bilinear_sample_per_frame,
+    interpolate_bilinear,
+)
 from batrack_tpu.tracker.blocks import (
     BasicEncoder,
     MotionLabelMLP,
@@ -65,6 +70,7 @@ class TrackerParams(NamedTuple):
     dynamic_mask_detach: bool = True
     use_log_depth: bool = False
     interp_shape: Tuple[int, int] = (384, 512)
+    use_pallas_corr: bool = False  # fused VMEM-resident corr kernel (TPU only)
 
     @classmethod
     def from_config(cls, m: ModelConfig) -> "TrackerParams":
@@ -86,6 +92,7 @@ class TrackerParams(NamedTuple):
             dynamic_mask_detach=m.dynamic_mask_detach,
             use_log_depth=m.use_log_depth,
             interp_shape=tuple(m.interp_shape),
+            use_pallas_corr=m.use_pallas_corr,
         )
 
 
@@ -227,8 +234,11 @@ class MDTracker(nn.Module):
             out_d = self.depth_process_inv(c[..., 2] / Dz * (d_far - d_near) + d_near)
             return out_xy, out_d
 
+        corr_fn = (corr_sample_pyramid_pallas if p.use_pallas_corr
+                   else corr_sample_pyramid)
+
         def one_iter(coords, ffeats, pe, transformer):
-            fcorrs = corr_sample_pyramid(
+            fcorrs = corr_fn(
                 pyramid, ffeats, coords[..., :2], p.corr_radius
             )  # (S, N, LRR)
             flows = coords - coords[0:1]
@@ -359,13 +369,9 @@ class MDTracker(nn.Module):
 
             # feat init for newly active queries at their first frame
             rel = jnp.clip(first_ind - ind, 0, S - 1)
-            fm_sel = jnp.take(fmaps, rel, axis=0)  # (N, h4, w4, C)
-            # gather per-query feature at its own first-frame map
-            fq = jax.vmap(
-                lambda fm, xy: bilinear_sample2d(
-                    jnp.moveaxis(fm, -1, 0)[None], xy[0:1][None], xy[1:2][None]
-                )[0, :, 0]
-            )(fm_sel, coords0[:, :2])
+            # per-query feature at its own first-frame map (flat gather; a
+            # per-query map copy would be O(N*H*W*C) = tens of GB)
+            fq = bilinear_sample_per_frame(fmaps, rel, coords0[:, :2])
             feat_init = jnp.where(
                 new[None, :, None], jnp.broadcast_to(fq[None], (S, N, p.latent_dim)),
                 feat_init,

@@ -104,6 +104,9 @@ class ModelConfig:
     use_static: bool = False
     init_dir: str = ""
     interp_shape: Tuple[int, int] = (384, 512)
+    # TPU execution knobs (not part of the reference config surface)
+    use_pallas_corr: bool = False
+    compute_dtype: str = "float32"  # "bfloat16" for fast inference
 
 
 @dataclass

@@ -135,3 +135,22 @@ def test_interpolate_align_corners_endpoints(rng):
     out = np.asarray(interpolate_bilinear(jnp.asarray(x), (7, 7), align_corners=True))
     np.testing.assert_allclose(out[:, 0, 0], x[:, 0, 0], rtol=1e-5)
     np.testing.assert_allclose(out[:, -1, -1], x[:, -1, -1], rtol=1e-5)
+
+
+def test_pallas_corr_matches_xla(rng):
+    """Fused Pallas correlation kernel (interpret mode) == XLA path within
+    bf16 feature-map tolerance, including far out-of-range coords."""
+    from batrack_tpu.ops.pallas_corr import corr_sample_pyramid_pallas
+
+    S, C, N, H, W = 3, 128, 70, 32, 48
+    fmaps = jnp.asarray(rng.normal(size=(S, C, H, W)).astype(np.float32))
+    targets = jnp.asarray(rng.normal(size=(S, N, C)).astype(np.float32))
+    coords = jnp.asarray(
+        np.stack(
+            [rng.uniform(-10, W + 10, (S, N)), rng.uniform(-10, H + 10, (S, N))], -1
+        ).astype(np.float32)
+    )
+    pyr = build_pyramid(fmaps, 3)
+    ref = corr_sample_pyramid(pyr, targets, coords, 3)
+    out = corr_sample_pyramid_pallas(pyr, targets, coords, 3, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
