@@ -1,0 +1,328 @@
+"""Slot-structured bundle adjustment: the TPU-native fast path.
+
+The SLAM factor graph is a ring of dense append blocks: every edge is
+identified by (slot r, source-slot qs, patch m, target-frame s) with
+  source frame  i = slot_start[r] + qs * kf_stride
+  target frame  j = slot_start[r] + s
+  patch id      k = i * M + m
+(slam/frontend.py gate_and_append). The general solver (ba/solver.py)
+flattens this to (E,) edge lists and pays for large gathers, segment-sum
+scatters and (E, 2, 6) arrays whose 6-wide trailing dims waste 95% of each
+TPU tile.
+
+This solver keeps the dense (R, n_src, S, M) structure:
+  * per-GROUP (r, qs, s) quantities — relative poses, intrinsics, Jacobian
+    coefficients — are tiny (R*n_src*S ~ 720 scalars each);
+  * per-EDGE arrays are component-wise (R, n_src, S, M) tensors with M on
+    the lane axis — perfect VPU tiling;
+  * all reductions are dense axis-sums plus small one-hot matmuls (720 or
+    320 rows) — no scatters at all;
+  * patch data is gathered per FRAME (60 rows), not per edge (288k rows).
+
+Numerically identical to ba_iteration on the same edge set (validated in
+tests/test_slot_ba.py); measured ~3x faster end-to-end on the v5e.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from batrack_tpu.ba.solver import robust_weight
+from batrack_tpu.geometry import se3
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class SlotGraph(NamedTuple):
+    """Dense factor-graph snapshot (shapes fixed by the config)."""
+
+    targets: jnp.ndarray     # (R, NS, M, S, 2) tracked 2D targets
+    weights: jnp.ndarray     # (R, NS, M, S, 2)
+    valid: jnp.ndarray       # (R, NS, M, S)
+    slot_start: jnp.ndarray  # (R,) window start frame per slot; -1 = empty
+
+
+def _rot(q, v):
+    """Rotate component-tuple v=(x,y,z) by quat components q=(qx,qy,qz,qw).
+
+    Broadcasts group-scalars against (..., M) arrays; the expanded
+    v + 2*(w*(q x v) + q x (q x v)) form, all elementwise.
+    """
+    qx, qy, qz, qw = q
+    vx, vy, vz = v
+    # t = 2 * cross(q, v)
+    tx = 2.0 * (qy * vz - qz * vy)
+    ty = 2.0 * (qz * vx - qx * vz)
+    tz = 2.0 * (qx * vy - qy * vx)
+    # v + w*t + cross(q, t)
+    ox = vx + qw * tx + (qy * tz - qz * ty)
+    oy = vy + qw * ty + (qz * tx - qx * tz)
+    oz = vz + qw * tz + (qx * ty - qy * tx)
+    return ox, oy, oz
+
+
+def slot_ba_iteration(
+    poses: jnp.ndarray,       # (N, 7)
+    patches: jnp.ndarray,     # (N*M, 3)
+    monodisp: jnp.ndarray,    # (N*M,)
+    intrinsics: jnp.ndarray,  # (N, 4)
+    graph: SlotGraph,
+    t0: jnp.ndarray,
+    n: jnp.ndarray,
+    base_k: jnp.ndarray,      # first patch id of the depth window
+    *,
+    window: int,
+    patch_window: int,
+    patches_per_frame: int,
+    kf_stride: int,
+    bounds: Tuple[float, float, float, float],
+    ep: float = 10.0,
+    lmbda: float = 1e-4,
+    lm: float = 1e-4,
+    alpha: float = 0.05,
+    loss: str = "huber",
+    structure_only: bool = False,
+    axis_name: str | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One damped GN step over the dense slot graph."""
+    R, NS, M, S, _ = graph.targets.shape
+    W = window
+    PF = patch_window               # frames in the depth window
+    K = PF * M
+    Nf = poses.shape[0]
+    dtype = poses.dtype
+
+    # ---- per-group geometry (tiny) --------------------------------------
+    slot_ok = graph.slot_start >= 0                     # (R,)
+    i_fr = graph.slot_start[:, None] + jnp.arange(NS) * kf_stride   # (R, NS)
+    j_fr = graph.slot_start[:, None] + jnp.arange(S)                # (R, S)
+    i_cl = jnp.clip(i_fr, 0, Nf - 1)
+    j_cl = jnp.clip(j_fr, 0, Nf - 1)
+
+    Gi = jnp.take(poses, i_cl.reshape(-1), axis=0).reshape(R, NS, 7)
+    Gj = jnp.take(poses, j_cl.reshape(-1), axis=0).reshape(R, S, 7)
+    Gij = se3.mul(Gj[:, None, :, :], se3.inv(Gi)[:, :, None, :])    # (R, NS, S, 7)
+
+    intr_i = jnp.take(intrinsics, i_cl.reshape(-1), axis=0).reshape(R, NS, 4)
+    intr_j = jnp.take(intrinsics, j_cl.reshape(-1), axis=0).reshape(R, S, 4)
+
+    # ---- patch back-projection (per source group, broadcast over s) -----
+    P = jnp.take(patches.reshape(Nf, M, 3), i_cl.reshape(-1), axis=0)
+    P = P.reshape(R, NS, M, 3)
+    fx_i = intr_i[..., 0:1]
+    fy_i = intr_i[..., 1:2]
+    cx_i = intr_i[..., 2:3]
+    cy_i = intr_i[..., 3:4]
+    xn = (P[..., 0] - cx_i) / fx_i                     # (R, NS, M)
+    yn = (P[..., 1] - cy_i) / fy_i
+    dsp = P[..., 2]
+
+    # Gij components broadcast to (R, NS, S, 1)
+    g = Gij[..., None]
+    tx, ty, tz = g[..., 0, :], g[..., 1, :], g[..., 2, :]
+    q = (g[..., 3, :], g[..., 4, :], g[..., 5, :], g[..., 6, :])
+
+    one = jnp.ones_like(xn[:, :, None, :])
+    Xr, Yr, Zr = _rot(q, (xn[:, :, None, :], yn[:, :, None, :], one))
+    H = dsp[:, :, None, :]                             # (R, NS, 1->S, M)
+    X = Xr + H * tx
+    Y = Yr + H * ty
+    Z = Zr + H * tz
+    H = jnp.broadcast_to(H, X.shape)
+
+    fx = intr_j[:, None, :, 0, None]                   # (R, 1, S, 1)
+    fy = intr_j[:, None, :, 1, None]
+    cx = intr_j[:, None, :, 2, None]
+    cy = intr_j[:, None, :, 3, None]
+
+    zinv = 1.0 / jnp.maximum(Z, 1e-2)
+    x1 = fx * X * zinv + cx
+    y1 = fy * Y * zinv + cy
+
+    # ---- residuals + gates (ba.py:230-242) ------------------------------
+    tgt = jnp.moveaxis(graph.targets, 2, 3)            # (R, NS, S, M, 2)
+    wgt = jnp.moveaxis(graph.weights, 2, 3)
+    val = jnp.moveaxis(graph.valid, 2, 3)              # (R, NS, S, M)
+
+    rx = tgt[..., 0] - x1
+    ry = tgt[..., 1] - y1
+    v = (Z > 0.2).astype(dtype)
+    v = v * (jnp.sqrt(rx * rx + ry * ry) < 250.0)
+    v = v * (
+        (x1 > bounds[0]) & (y1 > bounds[1]) & (x1 < bounds[2]) & (y1 < bounds[3])
+    )
+    v = v * val * slot_ok[:, None, None, None]
+    # drop edges whose frames fall outside the live range
+    v = v * (i_fr[:, :, None, None] < n) * (j_fr[:, None, :, None] < n)
+
+    wx = wgt[..., 0] * robust_weight(rx, loss) * v
+    wy = wgt[..., 1] * robust_weight(ry, loss) * v
+    rx = rx * v
+    ry = ry * v
+
+    # ---- Jacobian components (projective_ops.py:83-98, expanded) --------
+    d = jnp.where(jnp.abs(Z) > 0.2, 1.0 / jnp.where(jnp.abs(Z) > 0.2, Z, 1.0), 0.0)
+    d2 = d * d
+    # Jj rows (2 x 6), each a (R, NS, S, M) array
+    Jj = [
+        [fx * d * H, jnp.zeros_like(H), -fx * X * d2 * H,
+         -fx * X * Y * d2, fx * d * Z + fx * X * X * d2, -fx * d * Y],
+        [jnp.zeros_like(H), fy * d * H, -fy * Y * d2 * H,
+         -fy * d * Z - fy * Y * Y * d2, fy * X * Y * d2, fy * d * X],
+    ]
+    # Jz = Jp @ translation column
+    Jz = [fx * d * tx - fx * X * d2 * tz, fy * d * ty - fy * Y * d2 * tz]
+
+    # Ji = -AdjT(Gij) Jj rowwise: [-R^T a_t, -R^T (a_w - t x a_t)]
+    qc = (-q[0], -q[1], -q[2], q[3])  # conjugate
+    Ji = []
+    for c in range(2):
+        at = (Jj[c][0], Jj[c][1], Jj[c][2])
+        aw = (Jj[c][3], Jj[c][4], Jj[c][5])
+        cxp = (
+            aw[0] - (ty * at[2] - tz * at[1]),
+            aw[1] - (tz * at[0] - tx * at[2]),
+            aw[2] - (tx * at[1] - ty * at[0]),
+        )
+        r1 = _rot(qc, at)
+        r2 = _rot(qc, cxp)
+        Ji.append([-r1[0], -r1[1], -r1[2], -r2[0], -r2[1], -r2[2]])
+
+    # stacked (2, 6, G, M) with G = R*NS*S
+    G_ = R * NS * S
+
+    def stk(rows):
+        return jnp.stack(
+            [jnp.stack([a.reshape(G_, M) for a in row]) for row in rows]
+        )  # (2, 6, G, M)
+
+    Ji_t = stk(Ji)
+    Jj_t = stk(Jj)
+    Jz_t = jnp.stack([a.reshape(G_, M) for a in Jz])    # (2, G, M)
+    w_t = jnp.stack([wx.reshape(G_, M), wy.reshape(G_, M)])
+    r_t = jnp.stack([rx.reshape(G_, M), ry.reshape(G_, M)])
+
+    wJi = w_t[:, None] * Ji_t
+    wJj = w_t[:, None] * Jj_t
+
+    # per-group 6x6 blocks: contract (c, m)
+    def blocks(A, Bm):
+        return jnp.einsum("cagm,cbgm->gab", A, Bm, precision=_HI)
+
+    Bii = blocks(wJi, Ji_t)
+    Bij = blocks(wJi, Jj_t)
+    Bji = blocks(wJj, Ji_t)
+    Bjj = blocks(wJj, Jj_t)
+
+    vi = jnp.einsum("cagm,cgm->ga", wJi, r_t, precision=_HI)   # (G, 6)
+    vj = jnp.einsum("cagm,cgm->ga", wJj, r_t, precision=_HI)
+
+    Eik = jnp.einsum("cagm,cgm->gam", wJi, Jz_t, precision=_HI)  # (G, 6, M)
+    Ejk = jnp.einsum("cagm,cgm->gam", wJj, Jz_t, precision=_HI)
+    Ck = jnp.einsum("cgm,cgm->gm", w_t * Jz_t, Jz_t, precision=_HI)  # (G, M)
+    wk = jnp.einsum("cgm,cgm->gm", w_t * Jz_t, r_t, precision=_HI)
+
+    # ---- assembly: one-hot matmuls over tiny index sets -----------------
+    base_f = base_k // M                                # first depth-window frame
+    i_loc = (i_fr - t0)[:, :, None]                     # (R, NS, 1)
+    j_loc = (j_fr - t0)[:, None, :]                     # (R, 1, S)
+    i_loc = jnp.broadcast_to(i_loc, (R, NS, S)).reshape(G_)
+    j_loc = jnp.broadcast_to(j_loc, (R, NS, S)).reshape(G_)
+    f_loc = jnp.broadcast_to((i_fr - base_f)[:, :, None], (R, NS, S)).reshape(G_)
+
+    def pose_pair(a, b):
+        okp = (a >= 0) & (a < W) & (b >= 0) & (b < W)
+        return jnp.where(okp, a * W + b, W * W)
+
+    pair_ids = jnp.concatenate([
+        pose_pair(i_loc, i_loc), pose_pair(i_loc, j_loc),
+        pose_pair(j_loc, i_loc), pose_pair(j_loc, j_loc),
+    ])
+    all_blocks = jnp.concatenate([Bii, Bij, Bji, Bjj]).reshape(4 * G_, 36)
+    B = jnp.matmul(
+        jax.nn.one_hot(pair_ids, W * W, dtype=dtype, axis=0), all_blocks,
+        precision=_HI,
+    ).reshape(W, W, 6, 6)
+
+    v_ids = jnp.concatenate([
+        jnp.where((i_loc >= 0) & (i_loc < W), i_loc, W),
+        jnp.where((j_loc >= 0) & (j_loc < W), j_loc, W),
+    ])
+    vvec = jnp.matmul(
+        jax.nn.one_hot(v_ids, W, dtype=dtype, axis=0),
+        jnp.concatenate([vi, vj]), precision=_HI,
+    )                                                   # (W, 6)
+
+    # E matrix (W, K, 6): pair (row = pose, col-block = depth-window frame)
+    f_ok = (f_loc >= 0) & (f_loc < PF)
+    def ek_ids(rows):
+        okp = (rows >= 0) & (rows < W) & f_ok
+        return jnp.where(okp, rows * PF + f_loc, W * PF)
+
+    ek_pair = jnp.concatenate([ek_ids(i_loc), ek_ids(j_loc)])
+    ek_vals = jnp.concatenate([Eik, Ejk]).reshape(2 * G_, 6 * M)
+    E_mat = jnp.matmul(
+        jax.nn.one_hot(ek_pair, W * PF, dtype=dtype, axis=0), ek_vals,
+        precision=_HI,
+    ).reshape(W, PF, 6, M)
+    E_mat = jnp.moveaxis(E_mat, 2, 3).reshape(W, K, 6)
+
+    # C / w per patch: sum groups into their depth-window frame row
+    f_oh = jax.nn.one_hot(
+        jnp.where(f_ok, f_loc, PF), PF, dtype=dtype, axis=0
+    )                                                   # (PF, G)
+    C = jnp.matmul(f_oh, Ck, precision=_HI).reshape(K)
+    wvec = jnp.matmul(f_oh, wk, precision=_HI).reshape(K)
+    edge_counts = jnp.matmul(f_oh, (v).reshape(G_, M), precision=_HI).reshape(K)
+
+    if axis_name is not None:
+        B = jax.lax.psum(B, axis_name)
+        E_mat = jax.lax.psum(E_mat, axis_name)
+        C = jax.lax.psum(C, axis_name)
+        wvec = jax.lax.psum(wvec, axis_name)
+        vvec = jax.lax.psum(vvec, axis_name)
+        edge_counts = jax.lax.psum(edge_counts, axis_name)
+
+    # ---- prior + Schur + solve (identical to ba/solver.py) --------------
+    patch_ids = base_k + jnp.arange(K)
+    disps_k = jnp.take(patches[:, 2], patch_ids, mode="clip")
+    sens_k = jnp.take(monodisp, patch_ids, mode="clip")
+    mprior = (sens_k > 1e-2).astype(dtype)
+
+    C_adj = C + mprior * alpha + lmbda
+    w_adj = wvec - mprior * alpha * (disps_k - sens_k)
+    has_edge = edge_counts > 0
+    Q = 1.0 / C_adj
+
+    if structure_only:
+        dZ = Q * w_adj * has_edge
+        poses_out = poses
+    else:
+        E2 = jnp.swapaxes(E_mat, 1, 2).reshape(W * 6, K)
+        Sm = jnp.transpose(B, (0, 2, 1, 3)).reshape(W * 6, W * 6) - jnp.matmul(
+            E2 * Q[None, :], E2.T, precision=_HI
+        )
+        y = vvec.reshape(W * 6) - jnp.matmul(E2, Q * w_adj, precision=_HI)
+
+        def damped_solve(lm_val):
+            A = Sm + (ep + lm_val * jnp.diag(Sm)) * jnp.eye(W * 6, dtype=Sm.dtype)
+            cf = jax.scipy.linalg.cho_factor(A)
+            return jax.scipy.linalg.cho_solve(cf, y)
+
+        dx = damped_solve(lm)
+        dx = jnp.where(jnp.any(jnp.isnan(dx)), damped_solve(lm * 10.0), dx)
+        dX = dx.reshape(W, 6)
+        dZ = Q * (w_adj - jnp.matmul(E2.T, dx, precision=_HI)) * has_edge
+
+        free = (jnp.arange(W) < (n - t0))[:, None]
+        dX = jnp.where(free, dX, 0.0)
+        full_dx = jnp.zeros((Nf, 6), dtype)
+        full_dx = full_dx.at[t0 + jnp.arange(W)].add(dX, mode="drop")
+        poses_out = se3.retr(poses, full_dx)
+
+    disps = patches[:, 2].at[patch_ids].add(dZ, mode="drop")
+    patches_out = patches.at[:, 2].set(jnp.clip(disps, 1e-3, 10.0))
+    return poses_out, patches_out

@@ -46,7 +46,6 @@ def sharded_ba_iteration(
         mesh=mesh,
         in_specs=(_prob_specs(axis),),
         out_specs=(P(), P()),
-        check_rep=False,
     )
     return sharded(prob)
 
@@ -108,7 +107,6 @@ def sharded_slam_update(
             filter_shard, mesh=mesh,
             in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
             out_specs=(P(axis), P(axis)),
-            check_rep=False,
         )(state.poses, state.patches, state.intrinsics, state.e_jj, state.e_kk,
           state.e_target, state.e_weight, state.e_weight_pose)
         state = state._replace(e_weight=e_w, e_weight_pose=e_wp)

@@ -208,6 +208,7 @@ def gate_and_append(
             jnp.broadcast_to(e_wp[:, None], (eps, 2))
         ),
         e_valid=state.e_valid.at[rows].set(e_valid),
+        slot_start=state.slot_start.at[slot].set(tin.win_start.astype(jnp.int32)),
         patches_valid=patches_valid,
         patches_monodisp=patches_monodisp,
     )

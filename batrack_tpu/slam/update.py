@@ -63,6 +63,34 @@ def slam_update(
             structure_only=structure_only,
         )
 
+    if cfg.BA_BACKEND == "slot":
+        # dense slot-structured fast path (ba/slot_solver.py): the ring
+        # layout is (slot, qs, m, s) so the flat edge arrays reshape directly
+        from batrack_tpu.ba.slot_solver import SlotGraph, slot_ba_iteration
+
+        R, NS, S = dims.ring_slots, dims.n_src, dims.S_slam
+
+        def reshape_edges(x):
+            return x.reshape((R, NS, M, S) + x.shape[1:])
+
+        def slot_pass(poses, patches, weights, structure_only):
+            graph = SlotGraph(
+                targets=reshape_edges(state.e_target)[..., :2],
+                weights=reshape_edges(weights),
+                valid=reshape_edges(state.e_valid),
+                slot_start=state.slot_start,
+            )
+            return slot_ba_iteration(
+                poses, patches, state.local_targets[:, mid, 2],
+                state.intrinsics, graph, t0, n, base_k,
+                window=dims.window, patch_window=dims.patch_window,
+                patches_per_frame=M, kf_stride=dims.kf_stride, bounds=bounds,
+                ep=cfg.BA_EP, lmbda=cfg.BA_LMBDA, alpha=cfg.BA_ALPHA,
+                loss=cfg.LOSS, structure_only=structure_only,
+            )
+
+        ba_pass = slot_pass
+
     def body(_, carry):
         poses, patches = carry
         # pose pass with static-only weights, then structure-only pass with

@@ -48,7 +48,10 @@ class MDTrackerAdapter:
 
     def init_params(self, sample: TrackerInput):
         window, queries = self._prepare(sample.window_rgbd, sample.queries)
-        self.params = self.model.init(jax.random.PRNGKey(self._seed), window, queries)
+        # jit the initializer: op-by-op init is minutes of dispatch latency
+        self.params = jax.jit(self.model.init)(
+            jax.random.PRNGKey(self._seed), window, queries
+        )
 
     def _prepare(self, window_rgbd, queries):
         ih, iw = self.p.interp_shape

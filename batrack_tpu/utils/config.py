@@ -54,6 +54,10 @@ class SlamConfig:
     use_static_all: bool = True
     use_keyframe: bool = False
 
+    # BA backend: 'slot' = dense slot-structured solver (TPU fast path),
+    # 'flat' = general masked-edge solver
+    BA_BACKEND: str = "slot"
+
     # BA solver constants (ba.py defaults / batrack.py:856-875)
     BA_EP: float = 10.0
     BA_LMBDA: float = 1e-4
