@@ -25,7 +25,8 @@ class TrackerInput(NamedTuple):
     window_rgbd: jnp.ndarray   # (S_slam, 4, H, W) images 0..255 + depth
     queries: jnp.ndarray       # (NQ, 4) [sid, x, y, depth]; sid in window time
     query_valid: jnp.ndarray   # (NQ,) bool
-    win_start: jnp.ndarray     # () global frame id of window slot 0
+    win_start: jnp.ndarray     # () buffer frame id of window slot 0
+    win_tstamps: jnp.ndarray   # (S_slam,) global frame counter per window slot
 
 
 class TrackerOutput(NamedTuple):
@@ -81,7 +82,10 @@ def build_tracker_input(state: SLAMState, n: jnp.ndarray, dims: StaticDims) -> T
     ).reshape(dims.n_src * M, 4)
     query_valid = jnp.broadcast_to(q_valid[:, None], (dims.n_src, M)).reshape(-1)
 
-    return TrackerInput(window_rgbd, queries, query_valid, n - S)
+    w_frames = jnp.clip(n - S + jnp.arange(S_slam), 0, state.tstamps.shape[0] - 1)
+    win_tstamps = jnp.take(state.tstamps, w_frames)
+
+    return TrackerInput(window_rgbd, queries, query_valid, n - S, win_tstamps)
 
 
 def masked_quantile(x: jnp.ndarray, mask: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:

@@ -40,7 +40,8 @@ class OracleTracker:
     def _forward(self, tin: TrackerInput, gt_poses, intrinsics, key, dims: StaticDims):
         S, H, W = dims.S_slam, dims.ht, dims.wd
         sid = tin.queries[:, 0].astype(jnp.int32)
-        q_frame = jnp.clip(tin.win_start + sid, 0, gt_poses.shape[0] - 1)
+        # use global frame counters so removed keyframes don't shift the map
+        q_frame = jnp.clip(jnp.take(tin.win_tstamps, sid), 0, gt_poses.shape[0] - 1)
 
         # depth at the query from its own window frame (use provided depth
         # channel of the rgbd window for realism)
@@ -58,7 +59,7 @@ class OracleTracker:
         Pw = se3.act4(c2w, X0)
 
         # project into all window frames
-        w_frames = jnp.clip(tin.win_start + jnp.arange(S), 0, gt_poses.shape[0] - 1)
+        w_frames = jnp.clip(tin.win_tstamps, 0, gt_poses.shape[0] - 1)
         G = jnp.take(gt_poses, w_frames, axis=0)  # (S, 7)
         Xc = se3.act4(G[:, None, :], Pw[None, :, :])  # (S, NQ, 4)
         z = jnp.maximum(Xc[..., 2], 1e-2)

@@ -82,9 +82,27 @@ class BATrack:
                 boundary_padding=slam.BOUNDARY_PADDING,
             )
         )
+        if slam.use_keyframe and slam.BA_BACKEND == "slot":
+            # frame deletion breaks dense slot addressing; use the flat solver
+            import dataclasses
+
+            slam = dataclasses.replace(slam, BA_BACKEND="flat")
+            self.cfg.slam = slam
         self._update = jax.jit(
             functools.partial(slam_update, dims=dims, cfg=slam)
         )
+        if slam.use_keyframe:
+            from batrack_tpu.slam.keyframe import (
+                motion_magnitude,
+                remove_keyframe,
+                remove_window_frame,
+            )
+
+            self._motionmag = jax.jit(functools.partial(motion_magnitude, dims=dims))
+            self._remove_kf = jax.jit(functools.partial(remove_keyframe, dims=dims))
+            self._remove_win = jax.jit(
+                functools.partial(remove_window_frame, dims=dims)
+            )
 
     # ------------------------------------------------------------------
     def __call__(self, tstamp, image, depth, intrinsics) -> None:
@@ -130,8 +148,14 @@ class BATrack:
                 self.update()
         elif self.is_initialized:
             self.update()
-            # edge removal (keyframe_simple) is implicit: the ring overwrite
-            # plus the BA patch-window predicate reproduce batrack.py:1020-1024
+            if (
+                self.cfg.slam.use_keyframe
+                and (self.n - 1) % self.cfg.slam.kf_stride == 0
+            ):
+                self._keyframe()
+            # otherwise edge removal (keyframe_simple) is implicit: the ring
+            # overwrite plus the BA patch-window predicate reproduce
+            # batrack.py:1020-1024
 
     # ------------------------------------------------------------------
     def _track_append(self) -> None:
@@ -155,6 +179,33 @@ class BATrack:
             jnp.asarray(self.n, jnp.int32),
             jnp.asarray(self.is_initialized),
         )
+
+    def _keyframe(self) -> None:
+        """Motion-magnitude keyframe removal (batrack.py:1026-1073)."""
+        slam = self.cfg.slam
+        k = self.n - slam.KEYFRAME_INDEX
+        if k % slam.kf_stride != 0 or k < 1:
+            return
+        i = self.n - slam.KEYFRAME_INDEX - 1
+        j = self.n - slam.KEYFRAME_INDEX + 1
+        mag = 0.5 * (
+            float(self._motionmag(self.state, jnp.asarray(i), jnp.asarray(k)))
+            + float(self._motionmag(self.state, jnp.asarray(j), jnp.asarray(k)))
+        )
+        if mag < slam.KEYFRAME_THRESH:
+            t0 = int(self.state.tstamps[k - 1])
+            t1 = int(self.state.tstamps[k])
+            dP = np.asarray(
+                se3.mul(self.state.poses[k], se3.inv(self.state.poses[k - 1]))
+            )
+            self.delta[t1] = (t0, dP)
+            self.state = self._remove_kf(
+                self.state, jnp.asarray(k, jnp.int32), jnp.asarray(self.n, jnp.int32)
+            )
+            win_idx = k - self.n + self.dims.S_slam
+            if 0 <= win_idx < self.dims.S_slam:
+                self.state = self._remove_win(self.state, jnp.asarray(win_idx))
+            self.n -= 1
 
     # ------------------------------------------------------------------
     def get_pose(self, t: int, traj: Dict[int, np.ndarray]) -> np.ndarray:

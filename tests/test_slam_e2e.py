@@ -148,3 +148,40 @@ class TestSlamEndToEnd:
         assert w.sum() > 50
         z_err = np.abs(xyz[w][:, 2] - PLANE_Z)
         assert np.median(z_err) < 0.2, np.median(z_err)
+
+
+class TestKeyframeRemoval:
+    def test_use_keyframe_removes_and_interpolates(self, scene):
+        poses_gt, depths, images = scene
+        cfg = small_config()
+        cfg.slam.use_keyframe = True
+        # appends happen at odd n, so KEYFRAME_INDEX must be odd for
+        # k = n - KEYFRAME_INDEX to pass the stride check (batrack.py:1029-1031)
+        cfg.slam.KEYFRAME_INDEX = 3
+        cfg.slam.KEYFRAME_THRESH = 1e6  # force removal of every candidate
+        dims = StaticDims.from_config(cfg, HT, WD)
+        slam = BATrack(cfg, HT, WD, seed=0)
+        slam.tracker = OracleTracker(poses_gt, INTR, dims, noise=0.0)
+        for t in range(T_FRAMES):
+            slam(t, images[t], depths[t], INTR)
+        assert cfg.slam.BA_BACKEND == "flat"  # slot addressing disabled
+        assert slam.n < slam.counter          # frames were removed
+        assert len(slam.delta) == slam.counter - slam.n
+        poses_tum, tstamps = slam.terminate()
+        assert poses_tum.shape == (T_FRAMES, 7)  # removed frames interpolated
+        err = ate_rmse(poses_tum, poses_gt)
+        assert err < 0.3, err
+
+    def test_keyframe_kept_when_motion_large(self, scene):
+        poses_gt, depths, images = scene
+        cfg = small_config()
+        cfg.slam.use_keyframe = True
+        cfg.slam.KEYFRAME_INDEX = 3
+        cfg.slam.KEYFRAME_THRESH = 0.0  # never remove
+        dims = StaticDims.from_config(cfg, HT, WD)
+        slam = BATrack(cfg, HT, WD, seed=0)
+        slam.tracker = OracleTracker(poses_gt, INTR, dims, noise=0.0)
+        for t in range(T_FRAMES):
+            slam(t, images[t], depths[t], INTR)
+        assert slam.n == slam.counter
+        assert not slam.delta
