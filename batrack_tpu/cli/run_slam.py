@@ -90,6 +90,16 @@ def main(argv=None) -> int:
         if slam is None:
             ht, wd = image.shape[:2]
             slam = BATrack(cfg, ht, wd, seed=args.seed)
+            slam.timer.enabled = True
+            if cfg.save_video:
+                from batrack_tpu.utils.visualizer import TrackVisualizer
+
+                slam.visualizer = TrackVisualizer(
+                    save_dir=os.path.join(cfg.data.savedir, cfg.data.name),
+                    fps=cfg.visualizer.fps,
+                    linewidth=cfg.visualizer.linewidth,
+                    tracks_leave_trace=cfg.visualizer.tracks_leave_trace,
+                )
             slam.tracker = MDTrackerAdapter(
                 cfg.model, params=params,
                 backward_tracking=cfg.slam.backward_tracking
@@ -100,6 +110,7 @@ def main(argv=None) -> int:
     total = time.time() - start
     nf = len(image_list)
     logger.info("Total time: %.2f s | FPS: %.2f | s/frame: %.4f", total, nf / total, total / nf)
+    logger.info("stage timings:\n%s", slam.timer.report())
 
     pred_traj = slam.terminate()
 
@@ -119,6 +130,11 @@ def main(argv=None) -> int:
             save_path=os.path.join(outdir, "results.pkl"),
         )
         logger.info("results saved to %s", os.path.join(outdir, "results.pkl"))
+
+    if cfg.save_video and slam.visualizer is not None:
+        path = slam.visualizer.save_video(filename=cfg.slam.PATCH_GEN)
+        if path:
+            logger.info("track video saved to %s", path)
 
     if cfg.save_trajectory:
         save_trajectory_tum_format(pred_traj, os.path.join(outdir, "batrack_traj.txt"))

@@ -56,6 +56,10 @@ class BATrack:
         self.is_initialized = False
         self.tlist: List = []
         self.delta: Dict[int, Tuple[int, np.ndarray]] = {}  # keyframe removals
+        self.visualizer = None   # optional TrackVisualizer
+        from batrack_tpu.utils.profiling import StageTimer
+
+        self.timer = StageTimer(enabled=False)
 
         slam = cfg.slam
         dims = self.dims
@@ -122,9 +126,13 @@ class BATrack:
             depth = depth[..., 0]
         intrinsics = jnp.asarray(np.asarray(intrinsics), jnp.float32)
 
+        if self.visualizer is not None:
+            self.visualizer.add_frame(np.asarray(image, np.uint8))
+
         self.key, sub = jax.random.split(self.key)
         mark_valid = (self.n % self.cfg.slam.kf_stride == 0) and not self.is_initialized
-        self.state, _ = self._ingest(
+        with self.timer.timed("ingest"):
+            self.state, _ = self._ingest_timed(
             self.state,
             image,
             depth,
@@ -158,23 +166,47 @@ class BATrack:
             # batrack.py:1020-1024
 
     # ------------------------------------------------------------------
+    def _ingest_timed(self, *args, **kwargs):
+        return self._ingest(*args, **kwargs)
+
     def _track_append(self) -> None:
         if self.tracker is None:
             raise RuntimeError("no tracker configured")
-        tin = self._build_input(self.state, jnp.asarray(self.n, jnp.int32))
-        tout = self.tracker(tin)
+        with self.timer.timed("build_input"):
+            tin = self._build_input(self.state, jnp.asarray(self.n, jnp.int32))
+        with self.timer.timed("tracker"):
+            tout = self.tracker(tin)
         slot = self.append_count % self.dims.ring_slots
-        self.state = self._gate_append(
-            self.state,
-            tin,
-            tout,
-            jnp.asarray(self.n, jnp.int32),
-            jnp.asarray(slot, jnp.int32),
-        )
+        with self.timer.timed("gate_append"):
+            self.state = self._gate_append(
+                self.state,
+                tin,
+                tout,
+                jnp.asarray(self.n, jnp.int32),
+                jnp.asarray(slot, jnp.int32),
+            )
         self.append_count += 1
+        if self.visualizer is not None:
+            # lazily-converted vis payload (slam_visualizer add_track feed,
+            # batrack.py:807-818)
+            eps = self.dims.edges_per_slot
+            rows = slice(slot * eps, (slot + 1) * eps)
+            S, NS, M = self.dims.S_slam, self.dims.n_src, self.dims.M
+            tgt = np.asarray(self.state.e_target[rows]).reshape(NS, M, S, 3)
+            w = np.asarray(self.state.e_weight[rows, 0]).reshape(NS, M, S)
+            self.visualizer.add_track({
+                "fid": self.n,
+                "targets": np.moveaxis(tgt[..., :2], 2, 0).reshape(S, NS * M, 2),
+                "weights": np.moveaxis(w, 2, 0).reshape(S, NS * M),
+                "static": None,
+            })
 
     def update(self) -> None:
-        self.state = self._update(
+        with self.timer.timed("ba_update"):
+            self.state = self._update_timed()
+
+    def _update_timed(self):
+        return self._update(
             self.state,
             jnp.asarray(self.n, jnp.int32),
             jnp.asarray(self.is_initialized),

@@ -141,3 +141,35 @@ def test_refine_cli_roundtrip(tmp_path, rng):
     rc = eval_main(["--result_dir", str(tmp_path), "--refined"])
     assert rc == 0
     assert (tmp_path / "eval_depth.txt").exists()
+
+
+def test_track_visualizer_writes_video(tmp_path, rng):
+    from batrack_tpu.utils.visualizer import TrackVisualizer
+
+    viz = TrackVisualizer(save_dir=str(tmp_path), fps=5)
+    S, Q = 4, 6
+    for t in range(6):
+        viz.add_frame(rng.integers(0, 255, (48, 64, 3), np.uint8))
+    viz.add_track({
+        "fid": 5,
+        "targets": rng.uniform(5, 40, (S, Q, 2)).astype(np.float32),
+        "weights": np.ones((S, Q), np.float32),
+        "static": (rng.uniform(0, 1, (S, Q)) > 0.5).astype(np.float32),
+    })
+    path = viz.save_video("test")
+    assert path is not None
+    assert os.path.getsize(path) > 1000
+
+
+def test_stage_timer():
+    from batrack_tpu.utils.profiling import StageTimer
+
+    t = StageTimer()
+    with t.timed("a"):
+        pass
+    with t.timed("a"):
+        pass
+    with t.timed("b"):
+        pass
+    assert t.counts["a"] == 2 and t.counts["b"] == 1
+    assert "a" in t.report()
