@@ -1,6 +1,7 @@
 """Dataset streams and binary readers (Sintel/TartanAir/DAVIS/generic)."""
 
 from batrack_tpu.data.streams import (
+    native_rgbd_stream,
     cam_read_sintel,
     dataset_rgbd_stream,
     davis_stream,
@@ -11,6 +12,7 @@ from batrack_tpu.data.streams import (
 )
 
 __all__ = [
+    "native_rgbd_stream",
     "sintel_rgbd_stream",
     "tartanair_rgbd_stream",
     "davis_stream",

@@ -187,3 +187,25 @@ def dataset_rgbd_stream(imagedir, depthdir, calib, stride=1, skip=0, mode="repli
         frame = (t, image, depth, depth, intrinsics)
         yield frame
     yield (-1,) + frame[1:]
+
+
+def native_rgbd_stream(
+    image_paths, depth_paths, intrinsics_fn, num_threads: int = 3
+) -> Iterator[Tuple]:
+    """Prefetched RGB-D stream backed by the native C++ loader.
+
+    intrinsics_fn(t) -> (4,) per-frame intrinsics. Yields the same tuples as
+    the Python streams (depth_gt = depth) with decode/crop/clip running in
+    background threads, and the -1 sentinel at the end.
+    """
+    from batrack_tpu.data.native_loader import PrefetchLoader
+
+    loader = PrefetchLoader(list(map(str, image_paths)), list(map(str, depth_paths)),
+                            num_threads=num_threads)
+    frame = None
+    for idx, image, depth in loader:
+        d = depth[..., None].astype(float)
+        frame = (idx, image, d, d, np.asarray(intrinsics_fn(idx)))
+        yield frame
+    loader.close()
+    yield (-1,) + frame[1:]

@@ -173,3 +173,67 @@ def test_stage_timer():
         pass
     assert t.counts["a"] == 2 and t.counts["b"] == 1
     assert "a" in t.report()
+
+
+class TestNativeLoader:
+    """Native C++ dataio vs the Python readers."""
+
+    @pytest.fixture(autouse=True)
+    def _check(self):
+        from batrack_tpu.data import native_loader
+
+        if not native_loader.available():
+            pytest.skip("native dataio not built")
+
+    def test_dpt_cam_parity(self, tmp_path, rng):
+        from batrack_tpu.data import native_loader
+
+        depth = rng.uniform(1, 10, (24, 32)).astype(np.float32)
+        write_sintel_dpt(tmp_path / "f.dpt", depth)
+        np.testing.assert_allclose(native_loader.read_dpt(str(tmp_path / "f.dpt")), depth)
+
+        K = np.diag([300.0, 300.0, 1.0]); K[0, 2], K[1, 2] = 32, 24
+        E = np.hstack([np.eye(3), np.ones((3, 1))])
+        write_sintel_cam(tmp_path / "f.cam", K, E)
+        K2, E2 = native_loader.read_cam(str(tmp_path / "f.cam"))
+        np.testing.assert_allclose(K2, K)
+        np.testing.assert_allclose(E2, E)
+
+    def test_image_decode_parity(self, tmp_path, rng):
+        import cv2
+
+        from batrack_tpu.data import native_loader
+
+        img = rng.integers(0, 255, (30, 40, 3), np.uint8)
+        cv2.imwrite(str(tmp_path / "f.png"), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        out = native_loader.read_image(str(tmp_path / "f.png"))
+        np.testing.assert_array_equal(out, img)
+
+    def test_prefetch_loader(self, tmp_path, rng):
+        import cv2
+
+        from batrack_tpu.data.native_loader import PrefetchLoader
+
+        imgs, deps = [], []
+        raw = []
+        for t in range(6):
+            img = rng.integers(0, 255, (34, 66, 3), np.uint8)
+            depth = rng.uniform(0.001, 200, (34, 66)).astype(np.float32)
+            ip = tmp_path / f"{t:03d}.png"
+            dp = tmp_path / f"{t:03d}.npy"
+            cv2.imwrite(str(ip), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+            np.save(dp, depth)
+            imgs.append(str(ip)); deps.append(str(dp)); raw.append((img, depth))
+
+        loader = PrefetchLoader(imgs, deps, num_threads=2)
+        assert loader.shape == (32, 64)  # cropped to /16
+        count = 0
+        for idx, img, depth in loader:
+            assert idx == count
+            np.testing.assert_array_equal(img, raw[idx][0][:32, :64])
+            np.testing.assert_allclose(
+                depth, np.clip(raw[idx][1][:32, :64], 1e-2, 1e2), rtol=1e-6
+            )
+            count += 1
+        assert count == 6
+        loader.close()
