@@ -122,7 +122,7 @@ def motion_model(poses: jnp.ndarray, n: jnp.ndarray, damping: float) -> jnp.ndar
 
 def ingest_frame(
     state: SLAMState,
-    image: jnp.ndarray,       # (H, W, 3) float32 0..255
+    image: jnp.ndarray,       # (H, W, 3) uint8 or float32 0..255
     depth: jnp.ndarray,       # (H, W) float32
     intrinsics: jnp.ndarray,  # (4,)
     n: jnp.ndarray,           # () current frame index (pre-increment)
@@ -136,6 +136,7 @@ def ingest_frame(
 ) -> Tuple[SLAMState, jnp.ndarray]:
     """One frame into the buffers (batrack.py:937-988). Returns (state, coords)."""
     M = dims.M
+    image = image.astype(jnp.float32)
 
     # roll the local window (batrack.py:385-392)
     win_images = jnp.roll(state.win_images, -1, axis=0).at[-1].set(image)

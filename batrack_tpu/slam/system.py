@@ -120,14 +120,19 @@ class BATrack:
                 f"Buffer size {self.dims.N} exhausted; increase slam.BUFFER_SIZE"
             )
 
-        image = jnp.asarray(np.asarray(image), jnp.float32)
+        # ship images as uint8 (the ingest jit converts on device); host->
+        # device bandwidth is a first-order cost on tunneled TPUs
+        image_np = np.asarray(image)
+        if image_np.dtype != np.uint8:
+            image_np = np.clip(image_np, 0, 255).astype(np.uint8)
+        image = jnp.asarray(image_np)
         depth = jnp.asarray(np.asarray(depth), jnp.float32)
         if depth.ndim == 3:
             depth = depth[..., 0]
         intrinsics = jnp.asarray(np.asarray(intrinsics), jnp.float32)
 
         if self.visualizer is not None:
-            self.visualizer.add_frame(np.asarray(image, np.uint8))
+            self.visualizer.add_frame(image_np)
 
         self.key, sub = jax.random.split(self.key)
         mark_valid = (self.n % self.cfg.slam.kf_stride == 0) and not self.is_initialized
