@@ -74,6 +74,13 @@ def get_3d_embedding(xyz: jnp.ndarray, C: int, cat_coords: bool = True) -> jnp.n
     return pe
 
 
+def get_4d_embedding(xyzw: jnp.ndarray, C: int, cat_coords: bool = True) -> jnp.ndarray:
+    pe = _sincos_nd(xyzw, C)
+    if cat_coords:
+        pe = jnp.concatenate([pe, xyzw], axis=-1)
+    return pe
+
+
 def get_nd_embedding(coords: jnp.ndarray, C: int, cat_coords: bool = True) -> jnp.ndarray:
     pe = _sincos_nd(coords, C)
     if cat_coords:

@@ -269,6 +269,22 @@ def inter_frame_loss(p, data, image_hw) -> jnp.ndarray:
     return (vals * q).sum() / jnp.maximum(q.sum(), 1.0)
 
 
+def inter_frame_loss_local(p, data, image_hw) -> jnp.ndarray:
+    """Rigidity on track-scaled tracked disparity (refine_net.py:224-250)."""
+    scaled = effective_trajs_scales(p) * data.trajs_disp
+    data_local = data._replace(trajs_disp_mono=scaled)
+    # identical machinery with the scaled tracked disparity in place of the
+    # frame-scaled mono disparity
+    T, N, S = data.trajs_disp.shape
+    ones = RefineParams(
+        trajs_scales=jnp.zeros((T, N, S)),
+        frame_scales=jnp.zeros_like(p.frame_scales),
+        pose_delta=p.pose_delta,
+        K=p.K,
+    )
+    return inter_frame_loss(ones, data_local, image_hw)
+
+
 def pts_3d_loss(p, data, image_hw, refine_K) -> jnp.ndarray:
     """Cross-frame 3D consistency through the poses (refine_net.py:314-354)."""
     T, N, S = data.trajs_disp.shape

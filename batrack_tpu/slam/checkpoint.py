@@ -1,0 +1,60 @@
+"""SLAM state checkpoint / resume.
+
+The reference has no mid-run state persistence (SURVEY.md §5: stage-level
+filesystem handoff only); here the full static-shape SLAM state plus the
+host-side bookkeeping serialize to one .npz, so a live run can stop and
+resume mid-sequence — useful for long sequences and fault recovery.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import TYPE_CHECKING
+
+import jax.numpy as jnp
+import numpy as np
+
+from batrack_tpu.slam.state import SLAMState
+
+if TYPE_CHECKING:
+    from batrack_tpu.slam.system import BATrack
+
+
+def save_slam_state(slam: "BATrack", path: str) -> None:
+    arrays = {f"state_{k}": np.asarray(v) for k, v in slam.state._asdict().items()}
+    meta = {
+        "n": slam.n,
+        "counter": slam.counter,
+        "append_count": slam.append_count,
+        "is_initialized": slam.is_initialized,
+        "tlist": [float(t) for t in slam.tlist],
+        "delta": {
+            str(t1): [int(t0), np.asarray(dP).tolist()]
+            for t1, (t0, dP) in slam.delta.items()
+        },
+    }
+    np.savez_compressed(path, meta=json.dumps(meta), **arrays)
+
+
+def load_slam_state(slam: "BATrack", path: str) -> None:
+    data = np.load(path, allow_pickle=False)
+    fields = {}
+    for k in SLAMState._fields:
+        arr = data[f"state_{k}"]
+        cur = getattr(slam.state, k)
+        if arr.shape != cur.shape:
+            raise ValueError(
+                f"checkpoint field {k} shape {arr.shape} != config shape {cur.shape}"
+            )
+        fields[k] = jnp.asarray(arr)
+    slam.state = SLAMState(**fields)
+    meta = json.loads(str(data["meta"]))
+    slam.n = int(meta["n"])
+    slam.counter = int(meta["counter"])
+    slam.append_count = int(meta["append_count"])
+    slam.is_initialized = bool(meta["is_initialized"])
+    slam.tlist = list(meta["tlist"])
+    slam.delta = {
+        int(t1): (int(v[0]), np.asarray(v[1], np.float32))
+        for t1, v in meta["delta"].items()
+    }

@@ -245,6 +245,18 @@ class BATrack:
             self.n -= 1
 
     # ------------------------------------------------------------------
+    def save_state(self, path: str) -> None:
+        """Checkpoint the full SLAM state for mid-sequence resume."""
+        from batrack_tpu.slam.checkpoint import save_slam_state
+
+        save_slam_state(self, path)
+
+    def load_state(self, path: str) -> None:
+        from batrack_tpu.slam.checkpoint import load_slam_state
+
+        load_slam_state(self, path)
+
+    # ------------------------------------------------------------------
     def get_pose(self, t: int, traj: Dict[int, np.ndarray]) -> np.ndarray:
         """Pose for counter t, following removal deltas (batrack.py:223-228)."""
         if t in traj:
