@@ -92,12 +92,66 @@ class BasicEncoder(nn.Module):
         return x
 
 
+def _chunked_attention(q, k, v, scale, chunk: int):
+    """Flash-style online-softmax attention over key chunks.
+
+    q, k, v: (B, h, N, d). Bounds the probs transient to (.., N, chunk)
+    instead of the full (.., N, N) volume — the space-attention blocks at
+    SLAM sizes would otherwise materialise ~1 GB per block.
+    """
+    B, H, N, D = q.shape
+    n_chunks = (N + chunk - 1) // chunk
+    pad = n_chunks * chunk - N
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    kc = k.reshape(B, H, n_chunks, chunk, D)
+    vc = v.reshape(B, H, n_chunks, chunk, D)
+    neg = jnp.float32(-1e30)
+
+    m0 = jnp.full((B, H, N), -jnp.inf, jnp.float32)
+    s0 = jnp.zeros((B, H, N), jnp.float32)
+    a0 = jnp.zeros((B, H, N, D), jnp.float32)
+
+    def scan_step(carry, idx):
+        m, s, acc = carry
+        kk = kc[:, :, idx]
+        vv = vc[:, :, idx]
+        logits = (
+            jnp.einsum("bhqd,bhkd->bhqk", q, kk).astype(jnp.float32) * scale
+        )
+        if pad:
+            key_ids = idx * chunk + jnp.arange(chunk)
+            logits = jnp.where(key_ids[None, None, None, :] < N, logits, neg)
+        m_new = jnp.maximum(m, logits.max(axis=-1))
+        p = jnp.exp(logits - m_new[..., None])
+        corr = jnp.exp(m - m_new)
+        s_new = s * corr + p.sum(axis=-1)
+        acc_new = acc * corr[..., None] + jnp.einsum(
+            "bhqk,bhkd->bhqd", p.astype(v.dtype), vv
+        ).astype(jnp.float32)
+        return (m_new, s_new, acc_new), None
+
+    (m, s, acc), _ = jax.lax.scan(
+        scan_step, (m0, s0, a0), jnp.arange(n_chunks)
+    )
+    return (acc / s[..., None]).astype(q.dtype)
+
+
 class Attention(nn.Module):
-    """timm vision_transformer Attention (qkv_bias=True)."""
+    """timm vision_transformer Attention (qkv_bias=True).
+
+    Sequences longer than `chunk_threshold` use flash-style chunked softmax
+    (numerically equivalent; avoids the (N, N) probs volume in HBM).
+    """
 
     dim: int
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    # chunked path only for sequences whose probs volume would stress HBM;
+    # at SLAM sizes (N=2400) dense bf16 softmax measures fastest on v5e
+    chunk_threshold: int = 8192
+    chunk: int = 2048
 
     @nn.compact
     def __call__(self, x):
@@ -109,9 +163,13 @@ class Attention(nn.Module):
         q = jnp.moveaxis(q, 1, 2)  # (B, h, N, d)
         k = jnp.moveaxis(k, 1, 2)
         v = jnp.moveaxis(v, 1, 2)
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (head ** -0.5)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        scale = head ** -0.5
+        if N > self.chunk_threshold:
+            out = _chunked_attention(q, k, v, scale, self.chunk)
+        else:
+            attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = jnp.moveaxis(out, 1, 2).reshape(B, N, C)
         return nn.Dense(C, name="proj", dtype=self.dtype)(out)
 
