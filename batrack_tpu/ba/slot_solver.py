@@ -150,18 +150,22 @@ def slot_ba_iteration(
     rx = tgt[..., 0] - x1
     ry = tgt[..., 1] - y1
     v = (Z > 0.2).astype(dtype)
-    v = v * (jnp.sqrt(rx * rx + ry * ry) < 250.0)
+    rsq = jnp.nan_to_num(rx * rx + ry * ry, nan=jnp.inf)
+    v = v * (jnp.sqrt(rsq) < 250.0)
     v = v * (
         (x1 > bounds[0]) & (y1 > bounds[1]) & (x1 < bounds[2]) & (y1 < bounds[3])
     )
     v = v * val * slot_ok[:, None, None, None]
+    v = v * jnp.isfinite(rx) * jnp.isfinite(ry)
     # drop edges whose frames fall outside the live range
     v = v * (i_fr[:, :, None, None] < n) * (j_fr[:, None, :, None] < n)
 
-    wx = wgt[..., 0] * robust_weight(rx, loss) * v
-    wy = wgt[..., 1] * robust_weight(ry, loss) * v
-    rx = rx * v
-    ry = ry * v
+    # where() instead of multiplication: 0 * NaN would still poison the sums
+    gate = v > 0
+    wx = jnp.where(gate, wgt[..., 0] * robust_weight(rx, loss), 0.0)
+    wy = jnp.where(gate, wgt[..., 1] * robust_weight(ry, loss), 0.0)
+    rx = jnp.where(gate, rx, 0.0)
+    ry = jnp.where(gate, ry, 0.0)
 
     # ---- Jacobian components (projective_ops.py:83-98, expanded) --------
     d = jnp.where(jnp.abs(Z) > 0.2, 1.0 / jnp.where(jnp.abs(Z) > 0.2, Z, 1.0), 0.0)

@@ -105,18 +105,21 @@ def ba_iteration(
 
     r = prob.targets - coords  # (E, 2)
 
-    # validity gates (ba.py:230-242): depth, flow < 250 px, in bounds, edge mask
-    v = v * (jnp.linalg.norm(r, axis=-1) < 250.0)
+    # validity gates (ba.py:230-242): depth, flow < 250 px, in bounds, edge
+    # mask; non-finite targets (e.g. from a diverged tracker) gate to zero
+    v = v * (jnp.linalg.norm(jnp.nan_to_num(r, nan=jnp.inf), axis=-1) < 250.0)
     in_bounds = (
         (coords[..., 0] > bounds[0])
         & (coords[..., 1] > bounds[1])
         & (coords[..., 0] < bounds[2])
         & (coords[..., 1] < bounds[3])
     )
-    v = v * in_bounds * prob.valid
+    v = v * in_bounds * prob.valid * jnp.isfinite(r).all(axis=-1)
 
-    w = prob.weights * robust_weight(r, loss) * v[..., None]  # (E, 2)
-    r = r * v[..., None]
+    # where() instead of multiplication: 0 * NaN would still poison the sums
+    gate = (v > 0)[..., None]
+    w = jnp.where(gate, prob.weights * robust_weight(r, loss), 0.0)
+    r = jnp.where(gate, r, 0.0)
 
     # weighted block products, (E, 6, 6) etc.
     wJi = w[..., None] * Ji  # (E, 2, 6)

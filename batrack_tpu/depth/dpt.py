@@ -14,7 +14,6 @@ normalization) matches dpt.py:image2tensor.
 
 from __future__ import annotations
 
-import functools
 from typing import List, Sequence, Tuple
 
 import flax.linen as nn

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from batrack_tpu.tracker.mdtracker import MDTracker, TrackerParams
+from batrack_tpu.tracker.mdtracker import MDTracker
 
 
 def sharded_tracker_apply(

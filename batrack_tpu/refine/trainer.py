@@ -9,8 +9,7 @@ behavior. betas=(0.9, 0.9) as in trainer.py:44.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ S_slam) grid here flattens to exactly that order.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -123,9 +123,18 @@ def gate_and_append(
     # (_compute_sparse_tracks :575-582)
     sid = tin.queries[:, 0].astype(jnp.int32)            # (NQ,)
     onehot = jax.nn.one_hot(sid, S_slam, axis=0, dtype=jnp.float32)  # (S, NQ)
-    tracks = jnp.where(onehot[..., None] > 0, tin.queries[None, :, 1:3], tout.tracks)
-    vis = jnp.where(onehot > 0, 1.0, tout.vis)
-    depths = tout.depths
+    # sanitize non-finite tracker outputs: gates treat them as invisible and
+    # nan_to_num keeps the stored targets from poisoning later masked math
+    finite = (
+        jnp.isfinite(tout.tracks).all(-1)
+        & jnp.isfinite(tout.depths)
+        & jnp.isfinite(tout.vis)
+    )
+    tracks = jnp.where(onehot[..., None] > 0, tin.queries[None, :, 1:3],
+                       jnp.nan_to_num(tout.tracks, nan=-1e4, posinf=1e4, neginf=-1e4))
+    vis = jnp.where(onehot > 0, 1.0,
+                    jnp.where(finite, jnp.nan_to_num(tout.vis), 0.0))
+    depths = jnp.nan_to_num(tout.depths, nan=1e-2, posinf=1e2, neginf=1e-2)
 
     frame_live = (jnp.arange(S_slam) < S)[:, None]        # (S, 1) real frames
     q_live = tin.query_valid[None, :]                     # (1, NQ)
@@ -141,7 +150,7 @@ def gate_and_append(
     )
     vis_raw = vis_label & boundary & live
 
-    static_e = 1.0 - tout.dynamic
+    static_e = 1.0 - jnp.nan_to_num(tout.dynamic, nan=1.0)
     static_th = masked_quantile(static_e, live, 1.0 - static_quantile)
     static_th = jnp.minimum(static_th, static_threshold)
     static_label = (static_e >= static_th) & live

@@ -13,7 +13,6 @@ forces the flat BA backend whenever use_keyframe is enabled
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from batrack_tpu.geometry import projective

@@ -15,7 +15,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from batrack_tpu.geometry import projective, se3
+from batrack_tpu.geometry import se3
 from batrack_tpu.ops.sampling import bilinear_sample2d
 from batrack_tpu.slam.frontend import TrackerInput, TrackerOutput
 from batrack_tpu.slam.state import StaticDims

@@ -8,7 +8,6 @@ overwrite happens in the SLAM frontend (slam/frontend.py).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -21,7 +21,7 @@ including the reference's scrambled track_mask/vis concat (see
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import flax.linen as nn
 import jax
@@ -326,6 +326,10 @@ class MDTracker(nn.Module):
             masked = jnp.where(depth_all > 0.01, depth_all, jnp.inf)
             d_near = masked.min()
             d_far = jnp.where(depth_all > 0.01, depth_all, -jnp.inf).max()
+        # constant-depth windows (e.g. a fronto-parallel plane) make
+        # d_far == d_near; the reference divides by zero here
+        # (md_tracker.py:466-469) — guard the normalisation range
+        d_far = jnp.maximum(d_far, d_near + 1e-3)
 
         first_ind = queries[:, 0].astype(jnp.int32)
 

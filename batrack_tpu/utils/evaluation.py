@@ -9,7 +9,7 @@ matching evo's conventions so numbers are comparable.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 from scipy.spatial.transform import Rotation

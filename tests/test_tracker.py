@@ -322,3 +322,20 @@ class TestMDTrackerForward:
         traj, depth, static3d, vis, dyn = model.apply(params, window, queries)
         assert traj.shape == (T, N, 2)
         assert np.isfinite(np.asarray(traj)).all()
+
+
+def test_constant_depth_window_is_finite(rng):
+    """Fronto-parallel planes give constant-depth windows; the normalisation
+    range must be guarded (the reference divides by zero here)."""
+    p = TrackerParams(S=4, iters=1, static_iters=1, interp_shape=(32, 48))
+    model = MDTracker(p)
+    T, H, W, N = 4, 32, 48, 6
+    window = jnp.asarray(rng.uniform(0, 255, (T, 4, H, W)), jnp.float32)
+    window = window.at[:, 3].set(6.0)  # constant depth everywhere
+    queries = jnp.asarray(
+        np.stack([np.zeros(N), rng.uniform(5, W - 5, N),
+                  rng.uniform(5, H - 5, N), np.full(N, 6.0)], -1), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), window, queries)
+    outs = model.apply(params, window, queries)
+    for o in outs:
+        assert np.isfinite(np.asarray(o)).all()
