@@ -32,7 +32,7 @@ def sharded_tracker_apply(
     @functools.partial(jax.jit)
     def fwd(params, window, q):
         q = jax.lax.with_sharding_constraint(q, NamedSharding(mesh, P(axis, None)))
-        outs = model.apply(params, window, q)
+        outs = model.apply(params, window, q)[:5]
         # keep outputs sharded over tracks (last axis N for (T, N, ...) arrays)
         def constrain(x):
             if x.ndim >= 2:

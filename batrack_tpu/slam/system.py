@@ -57,6 +57,7 @@ class BATrack:
         self.tlist: List = []
         self.delta: Dict[int, Tuple[int, np.ndarray]] = {}  # keyframe removals
         self.visualizer = None   # optional TrackVisualizer
+        self._last_append_n = None  # for cross-append tracker fmap reuse
         from batrack_tpu.utils.profiling import StageTimer
 
         self.timer = StageTimer(enabled=False)
@@ -177,6 +178,17 @@ class BATrack:
     def _track_append(self) -> None:
         if self.tracker is None:
             raise RuntimeError("no tracker configured")
+        # cross-append feature reuse: consecutive appends on a full window
+        # share all but `shift` frames (encode only the new ones)
+        if hasattr(self.tracker, "reuse_hint"):
+            shift = None
+            if (
+                self._last_append_n is not None
+                and self._last_append_n >= self.dims.S_slam
+                and 0 < self.n - self._last_append_n < self.dims.S_slam
+            ):
+                shift = self.n - self._last_append_n
+            self.tracker.reuse_hint = shift
         with self.timer.timed("build_input"):
             tin = self._build_input(self.state, jnp.asarray(self.n, jnp.int32))
         with self.timer.timed("tracker"):
@@ -191,6 +203,7 @@ class BATrack:
                 jnp.asarray(slot, jnp.int32),
             )
         self.append_count += 1
+        self._last_append_n = self.n
         if self.visualizer is not None:
             # lazily-converted vis payload (slam_visualizer add_track feed,
             # batrack.py:807-818)
@@ -243,6 +256,7 @@ class BATrack:
             if 0 <= win_idx < self.dims.S_slam:
                 self.state = self._remove_win(self.state, jnp.asarray(win_idx))
             self.n -= 1
+            self._last_append_n = None  # window contents changed; drop cache
 
     # ------------------------------------------------------------------
     def save_state(self, path: str) -> None:
@@ -255,6 +269,7 @@ class BATrack:
         from batrack_tpu.slam.checkpoint import load_slam_state
 
         load_slam_state(self, path)
+        self._last_append_n = None
 
     # ------------------------------------------------------------------
     def get_pose(self, t: int, traj: Dict[int, np.ndarray]) -> np.ndarray:

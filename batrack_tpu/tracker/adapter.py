@@ -43,7 +43,11 @@ class MDTrackerAdapter:
         self.backward_tracking = backward_tracking
         self.params = params  # {'params': ...}; random-init lazily if None
         self._seed = seed
-        self._apply = jax.jit(self._forward)
+        self._apply = jax.jit(self._forward, static_argnames=("reuse",))
+        # cross-append feature-map cache: the SLAM system sets reuse_hint to
+        # the window shift (kf_stride) when consecutive appends share frames
+        self.reuse_hint: Optional[int] = None
+        self._fmap_cache = None
 
     def init_params(self, sample: TrackerInput):
         window, queries = self._prepare(sample.window_rgbd, sample.queries)
@@ -59,11 +63,13 @@ class MDTrackerAdapter:
         q = queries.at[:, 1].mul(iw / W).at[:, 2].mul(ih / H)
         return window, q
 
-    def _forward(self, params, window_rgbd, queries):
+    def _forward(self, params, window_rgbd, queries, prev_fmaps=None, reuse=0):
         ih, iw = self.p.interp_shape
         S, _, H, W = window_rgbd.shape
         window, q = self._prepare(window_rgbd, queries)
-        traj, depth, static3d, vis, dyn = self.model.apply(params, window, q)
+        traj, depth, static3d, vis, dyn, fmaps = self.model.apply(
+            params, window, q, prev_fmaps, reuse
+        )
 
         scale = jnp.asarray([W / iw, H / ih], jnp.float32)
         tracks = traj * scale[None, None, :]
@@ -73,7 +79,7 @@ class MDTrackerAdapter:
             # (_compute_backward_tracks, batrack.py:590-629)
             inv_window = window[::-1]
             inv_q = q.at[:, 0].set(S - 1 - q[:, 0])
-            itraj, idepth, _, ivis, idyn = self.model.apply(params, inv_window, inv_q)
+            itraj, idepth, _, ivis, idyn, _ = self.model.apply(params, inv_window, inv_q)
             itraj = itraj[::-1]
             idepth = idepth[::-1]
             ivis = ivis[::-1]
@@ -85,9 +91,17 @@ class MDTrackerAdapter:
             vis = jnp.where(m0, ivis, vis)
             dyn = jnp.where(m0, idyn, dyn)
 
-        return TrackerOutput(tracks=tracks, depths=depth, vis=vis, dynamic=dyn)
+        return TrackerOutput(tracks=tracks, depths=depth, vis=vis, dynamic=dyn), fmaps
 
     def __call__(self, tin: TrackerInput) -> TrackerOutput:
         if self.params is None:
             self.init_params(tin)
-        return self._apply(self.params, tin.window_rgbd, tin.queries)
+        reuse = self.reuse_hint or 0
+        prev = self._fmap_cache if reuse else None
+        if prev is None:
+            reuse = 0
+        out, fmaps = self._apply(
+            self.params, tin.window_rgbd, tin.queries, prev, reuse=reuse
+        )
+        self._fmap_cache = fmaps
+        return out

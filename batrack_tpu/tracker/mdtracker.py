@@ -305,11 +305,19 @@ class MDTracker(nn.Module):
         self,
         rgbds: jnp.ndarray,    # (T, 4, H, W) rgb 0..255 + metric depth
         queries: jnp.ndarray,  # (N, 4) [t, x, y, depth] in pixels
+        prev_fmaps: jnp.ndarray | None = None,
+        reuse: int = 0,
     ):
         """Full sliding-window forward (md_tracker.py:416-671).
 
+        prev_fmaps/reuse: optional cross-call feature cache — the first
+        window reuses prev_fmaps shifted by `reuse` frames and encodes only
+        the `reuse` new ones (the reference does the same across its sliding
+        windows with stale normalisation stats, md_tracker.py:542-546).
+
         Returns (traj_e (T, N, 2), depth_e (T, N), traj_static (T, N, 3),
-        vis_e (T, N) sigmoid, dynamic_e (T, N) sigmoid).
+        vis_e (T, N) sigmoid, dynamic_e (T, N) sigmoid, fmaps of the last
+        window).
         """
         p = self.p
         T, _, H, W = rgbds.shape
@@ -361,7 +369,11 @@ class MDTracker(nn.Module):
         for w in range(n_wind):
             ind = w * (S // 2)
             frame_ids = np.clip(ind + np.arange(S), 0, T - 1)  # repeat last (pad)
-            if fmaps is None:
+            if fmaps is None and prev_fmaps is not None and reuse > 0:
+                new_ids = frame_ids[S - reuse:]
+                fm_new = self.encode_window(rgbs[new_ids], depths_dn[new_ids])
+                fmaps = jnp.concatenate([prev_fmaps[reuse:], fm_new], axis=0)
+            elif fmaps is None:
                 fmaps = self.encode_window(rgbs[frame_ids], depths_dn[frame_ids])
             else:
                 new_ids = frame_ids[S // 2:]
@@ -453,4 +465,5 @@ class MDTracker(nn.Module):
             static_e,
             jax.nn.sigmoid(vis_e),
             jax.nn.sigmoid(dyn_e),
+            fmaps,
         )

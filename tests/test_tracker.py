@@ -288,7 +288,7 @@ class TestMDTrackerForward:
             jnp.float32,
         )
         params = model.init(jax.random.PRNGKey(0), window, queries)
-        traj, depth, static3d, vis, dyn = model.apply(params, window, queries)
+        traj, depth, static3d, vis, dyn, _ = model.apply(params, window, queries)
         assert traj.shape == (T, N, 2)
         assert depth.shape == (T, N)
         assert static3d.shape == (T, N, 3)
@@ -319,7 +319,7 @@ class TestMDTrackerForward:
             jnp.float32,
         )
         params = model.init(jax.random.PRNGKey(0), window, queries)
-        traj, depth, static3d, vis, dyn = model.apply(params, window, queries)
+        traj, depth, static3d, vis, dyn, _ = model.apply(params, window, queries)
         assert traj.shape == (T, N, 2)
         assert np.isfinite(np.asarray(traj)).all()
 
@@ -336,6 +336,6 @@ def test_constant_depth_window_is_finite(rng):
         np.stack([np.zeros(N), rng.uniform(5, W - 5, N),
                   rng.uniform(5, H - 5, N), np.full(N, 6.0)], -1), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), window, queries)
-    outs = model.apply(params, window, queries)
+    outs = model.apply(params, window, queries)[:5]
     for o in outs:
         assert np.isfinite(np.asarray(o)).all()
