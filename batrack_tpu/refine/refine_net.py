@@ -96,22 +96,38 @@ def build_refine_data(results: dict, align_depth: bool = True) -> RefineData:
     mid = S // 2
     jj = np.arange(T)[:, None] + np.arange(S)[None, :] - mid  # (T, S)
 
-    # mono disparity along the 2D tracks (refine_net.py:95-108)
-    jj_c = np.clip(jj, 0, T - 1)
-    mono = np.zeros((T, N, S), np.float32)
-    dm = jnp.asarray(dmaps)[:, None]  # (T, 1, H, W)
-    for t in range(T):
-        sel = jnp.asarray(jj_c[t])
-        x = jnp.asarray(trajs[t, :, :, 0].T)  # (S, N)
-        y = jnp.asarray(trajs[t, :, :, 1].T)
-        d = bilinear_sample2d(jnp.take(dm, sel, axis=0), x, y)[:, 0]  # (S, N)
-        mono[t] = np.asarray(1.0 / jnp.maximum(d, 1e-2)).T
+    # mono disparity along the 2D tracks (refine_net.py:95-108) — vectorized
+    # numpy: this is one-off host-side prep, and device dispatch per frame
+    # costs far more than the gather itself
+    jj_c = np.clip(jj, 0, T - 1)                     # (T, S)
+    Himg, Wimg = dmaps.shape[-2:]
+    x = trajs[..., 0]                                # (T, N, S)
+    y = trajs[..., 1]
+    x0 = np.floor(x)
+    y0 = np.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0c = np.clip(x0, 0, Wimg - 1).astype(np.int64)
+    x1c = np.clip(x0 + 1, 0, Wimg - 1).astype(np.int64)
+    y0c = np.clip(y0, 0, Himg - 1).astype(np.int64)
+    y1c = np.clip(y0 + 1, 0, Himg - 1).astype(np.int64)
+    fsel = jj_c[:, None, :]                          # (T, 1, S) frame per tap
+    d = (
+        (1 - wy) * (1 - wx) * dmaps[fsel, y0c, x0c]
+        + (1 - wy) * wx * dmaps[fsel, y0c, x1c]
+        + wy * (1 - wx) * dmaps[fsel, y1c, x0c]
+        + wy * wx * dmaps[fsel, y1c, x1c]
+    )
+    mono = (1.0 / np.maximum(d, 1e-2)).astype(np.float32)
 
     qmask = np.zeros((T,), np.float32)
     qmask[np.asarray(results["grid_query_frames"], int)] = 1.0
 
     cams = np.asarray(results["cams_T_world"], np.float32)
-    pose_init = np.asarray(se3.from_matrix(jnp.asarray(cams)))
+    # tiny (T,4,4) conversion: run on the host CPU backend — compiling it on
+    # a tunneled TPU costs ~13 s, on CPU <1 s
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        pose_init = np.asarray(se3.from_matrix(jnp.asarray(cams)))
 
     return RefineData(
         trajs_2d=jnp.asarray(trajs[..., :2]),
