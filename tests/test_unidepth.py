@@ -1,0 +1,182 @@
+"""UniDepthV2 decoder parity vs the reference torch implementation.
+
+The reference decoder (UniDepth/unidepth/models/unidepthv2/decoder.py) is
+imported directly from the read-only checkout with two dependency stubs:
+`timm.models.layers.trunc_normal_` (aliased to torch.nn.init) and
+xformers' NystromAttention replaced by exact attention in the same
+(b, n, h, d) layout — which is also what our TPU implementation computes
+by default (see batrack_tpu/depth/unidepth.py module docstring).
+"""
+
+import math
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from batrack_tpu.depth.unidepth import (Decoder, UniDepthV2, _convert_decoder,
+                                        _nystrom_attention, _to_np,
+                                        generate_rays)
+
+
+def _install_stubs():
+    if "xformers" in sys.modules:
+        return
+    import torch.nn.functional as F
+
+    class _ExactNystromAttention(torch.nn.Module):
+        def __init__(self, num_landmarks=128, num_heads=4, dropout=0.0):
+            super().__init__()
+
+        def forward(self, q, k, v, key_padding_mask=None):
+            # reference NystromBlock passes (b, n, h, d)
+            q, k, v = (t.permute(0, 2, 1, 3) for t in (q, k, v))
+            a = torch.softmax(
+                q @ k.transpose(-1, -2) / math.sqrt(q.shape[-1]), -1)
+            return (a @ v).permute(0, 2, 1, 3)
+
+    xf = types.ModuleType("xformers")
+    comp = types.ModuleType("xformers.components")
+    att = types.ModuleType("xformers.components.attention")
+    att.NystromAttention = _ExactNystromAttention
+    comp.attention = att
+    xf.components = comp
+    sys.modules.update({"xformers": xf, "xformers.components": comp,
+                        "xformers.components.attention": att})
+
+    tv = types.ModuleType("torchvision")
+    tvt = types.ModuleType("torchvision.transforms")
+    tvf = types.ModuleType("torchvision.transforms.functional")
+    tvf.normalize = lambda t, mean, std: t  # only reached by .infer, unused
+    tvt.functional = tvf
+    tv.transforms = tvt
+    sys.modules.update({"torchvision": tv, "torchvision.transforms": tvt,
+                        "torchvision.transforms.functional": tvf})
+
+    tm = types.ModuleType("timm")
+    tmm = types.ModuleType("timm.models")
+    tml = types.ModuleType("timm.models.layers")
+    tml.trunc_normal_ = torch.nn.init.trunc_normal_
+    tmm.layers = tml
+    tm.models = tmm
+    sys.modules.update({"timm": tm, "timm.models": tmm,
+                        "timm.models.layers": tml})
+
+
+def _reference_decoder():
+    _install_stubs()
+    sys.path.insert(0, "/root/reference/UniDepth")
+    from unidepth.models.unidepthv2.decoder import Decoder as TorchDecoder
+
+    config = {
+        "model": {
+            "num_heads": 8,
+            "expansion": 4,
+            "pixel_decoder": {"hidden_dim": 512, "depths": [6, 0, 0],
+                              "dropout": 0.0},
+            "pixel_encoder": {"embed_dim": 1024, "embed_dims": [1024] * 24,
+                              "depths": [21, 22, 23, 24], "patch_size": 14},
+        },
+    }
+    torch.manual_seed(0)
+    dec = TorchDecoder(config)
+    dec.eval()
+    return dec
+
+
+@pytest.mark.slow
+def test_decoder_torch_parity(rng):
+    tdec = _reference_decoder()
+    B, h, w = 1, 3, 4
+    H, W = 14 * h, 14 * w
+    feats = [rng.normal(size=(B, h, w, 1024)).astype(np.float32) * 0.5
+             for _ in range(4)]
+    ccls = [rng.normal(size=(B, 1, 1024)).astype(np.float32) * 0.5
+            for _ in range(4)]
+    gcls = ccls[:2]
+
+    with torch.no_grad():
+        out_t = tdec(
+            {
+                "image": torch.zeros(B, 3, H, W),
+                "features": [torch.from_numpy(f) for f in feats],
+                "camera_tokens": [torch.from_numpy(c) for c in ccls],
+                "global_tokens": [torch.from_numpy(c) for c in gcls],
+            },
+            {},
+        )
+
+    sd = {f"pixel_decoder.{k}": v for k, v in tdec.state_dict().items()}
+    params = {"params": _convert_decoder(_to_np(sd))}
+    jdec = Decoder()
+    out_j = jdec.apply(
+        params,
+        [jnp.asarray(f.reshape(B, h * w, 1024)) for f in feats],
+        [jnp.asarray(c) for c in ccls],
+        [jnp.asarray(c) for c in gcls],
+        (H, W), (h, w),
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(out_j["K"]), out_t["K"].numpy(), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(out_j["confidence"])[:, None],
+        out_t["confidence"].numpy(), rtol=1e-3, atol=1e-3)
+    # depth passes through layer_norm in log space; with random weights the
+    # pre-norm std is ~0.02, so the normalization amplifies float32
+    # accumulation noise ~50x — 1% relative is the meaningful bar here
+    # (scale/shift and K match to ~1e-5)
+    d_j, d_t = np.asarray(out_j["depth"])[:, None], out_t["depth"].numpy()
+    np.testing.assert_allclose(d_j, d_t, rtol=1e-2, atol=1e-2)
+
+
+def test_nystrom_matches_exact_when_small(rng):
+    # below the landmark count the Nystrom path must be *exactly* dense
+    # attention (reference xformers behavior: fallback)
+    B, hds, n, d = 2, 4, 100, 32
+    q, k, v = (jnp.asarray(rng.normal(size=(B, hds, n, d)), jnp.float32)
+               for _ in range(3))
+    dense = jax.nn.softmax(q @ k.swapaxes(-1, -2) / math.sqrt(d), -1) @ v
+    ny = _nystrom_attention(q, k, v, landmarks=128)
+    np.testing.assert_allclose(np.asarray(ny), np.asarray(dense), atol=1e-6)
+
+
+def test_nystrom_approximates_exact(rng):
+    B, hds, n, d = 1, 2, 400, 16
+    q, k, v = (jnp.asarray(rng.normal(size=(B, hds, n, d)) * 0.1, jnp.float32)
+               for _ in range(3))
+    dense = jax.nn.softmax(q @ k.swapaxes(-1, -2) / math.sqrt(d), -1) @ v
+    ny = _nystrom_attention(q, k, v, landmarks=128)
+    err = np.abs(np.asarray(ny - dense)).max()
+    assert np.isfinite(np.asarray(ny)).all()
+    assert err < 0.05, err
+
+
+def test_generate_rays_matches_reference():
+    _install_stubs()
+    sys.path.insert(0, "/root/reference/UniDepth")
+    from unidepth.utils.geometric import generate_rays as torch_rays
+
+    K = np.asarray(
+        [[[300.0, 0, 160], [0, 280.0, 120], [0, 0, 1]]], np.float32)
+    r_t, a_t = torch_rays(torch.from_numpy(K), (24, 32))
+    r_j, a_j = generate_rays(jnp.asarray(K), (24, 32))
+    np.testing.assert_allclose(np.asarray(r_j), r_t.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a_j), a_t.numpy(), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_full_model_smoke(rng):
+    model = UniDepthV2()
+    x = jnp.asarray(rng.normal(size=(1, 42, 56, 3)), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out["depth"].shape == (1, 42, 56)
+    assert out["K"].shape == (1, 3, 3)
+    assert np.isfinite(np.asarray(out["depth"])).all()
+    assert (np.asarray(out["depth"]) > 0).all()
