@@ -71,6 +71,7 @@ class TrackerParams(NamedTuple):
     use_log_depth: bool = False
     interp_shape: Tuple[int, int] = (384, 512)
     use_pallas_corr: bool = False  # fused VMEM-resident corr kernel (TPU only)
+    use_flash_attention: bool = False  # Pallas flash for space attention (TPU)
 
     @classmethod
     def from_config(cls, m: ModelConfig) -> "TrackerParams":
@@ -93,6 +94,7 @@ class TrackerParams(NamedTuple):
             use_log_depth=m.use_log_depth,
             interp_shape=tuple(m.interp_shape),
             use_pallas_corr=m.use_pallas_corr,
+            use_flash_attention=m.use_flash_attention,
         )
 
 
@@ -127,6 +129,7 @@ class MDTracker(nn.Module):
             input_dim=p.input_dim, hidden_size=p.hidden_size,
             num_heads=p.num_heads, output_dim=p.latent_dim + 3,
             add_space_attn=p.add_space_attn, dtype=self.dtype,
+            use_flash=p.use_flash_attention,
             name="updateformer",
         )
         self.updateformer_dyn = UpdateFormer(
@@ -134,6 +137,7 @@ class MDTracker(nn.Module):
             input_dim=p.input_dim, hidden_size=p.hidden_size,
             num_heads=p.num_heads, output_dim=p.latent_dim + 3,
             add_space_attn=p.add_space_attn, dtype=self.dtype,
+            use_flash=p.use_flash_attention,
             name="updateformer_dyn",
         )
         # GroupNorm(1, latent) == LayerNorm over channel with affine params

@@ -109,7 +109,9 @@ class ModelConfig:
     init_dir: str = ""
     interp_shape: Tuple[int, int] = (384, 512)
     # TPU execution knobs (not part of the reference config surface)
-    use_pallas_corr: bool = False
+    # TPU fast paths (auto-disabled off-TPU by the adapter / backend gate)
+    use_pallas_corr: bool = True
+    use_flash_attention: bool = True
     compute_dtype: str = "float32"  # "bfloat16" for fast inference
 
 

@@ -42,6 +42,7 @@ def main() -> int:
     cfg = Config()
     cfg.slam.BUFFER_SIZE = 64  # enough for the benchmark sequence
     cfg.model.use_pallas_corr = True
+    cfg.model.use_flash_attention = True
     cfg.model.compute_dtype = "bfloat16"
 
     # synthetic scene: plane at z=6, smooth trajectory

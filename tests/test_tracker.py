@@ -339,3 +339,20 @@ def test_constant_depth_window_is_finite(rng):
     outs = model.apply(params, window, queries)[:5]
     for o in outs:
         assert np.isfinite(np.asarray(o)).all()
+
+
+def test_flash_attention_flag_is_noop_off_tpu(rng):
+    """use_flash_attention must leave CPU/GPU behavior bit-identical (the
+    Pallas flash path is gated on jax.default_backend() == 'tpu')."""
+    import jax
+    import jax.numpy as jnp
+
+    from batrack_tpu.tracker.blocks import Attention
+
+    x = jnp.asarray(rng.normal(size=(2, 64, 48)), jnp.float32)
+    a0 = Attention(48, 4, use_flash=False)
+    a1 = Attention(48, 4, use_flash=True, flash_threshold=1)
+    params = a0.init(jax.random.PRNGKey(0), x)
+    o0 = a0.apply(params, x)
+    o1 = a1.apply(params, x)
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
