@@ -78,15 +78,21 @@ def main(argv=None) -> int:
         )
 
     slam = None
+    # raw frames are retained only when results.pkl needs them — at 900
+    # frames of 480x640 the full float stack is ~10 GB of host RAM
+    keep_frames = cfg.save_results
     image_list, depth_list, depth_list_gt = [], [], []
+    nf = 0
     start = time.time()
     for t, image, depth, depth_gt, intrinsics in build_stream(cfg):
         if (isinstance(t, (int, np.integer)) and t == -1) or t == "-1":
             break
         depth = np.clip(depth, 1e-2, 1e2)
-        image_list.append(image)
-        depth_list.append(depth)
-        depth_list_gt.append(depth_gt)
+        nf += 1
+        if keep_frames:
+            image_list.append(image)
+            depth_list.append(depth)
+            depth_list_gt.append(depth_gt)
         if slam is None:
             ht, wd = image.shape[:2]
             slam = BATrack(cfg, ht, wd, seed=args.seed)
@@ -104,11 +110,11 @@ def main(argv=None) -> int:
                 cfg.model, params=params,
                 backward_tracking=cfg.slam.backward_tracking
                 and cfg.slam.S_slam > cfg.model.S,
+                static_threshold=cfg.slam.STATIC_THRESHOLD,
             )
         slam(t, image, depth, intrinsics)
 
     total = time.time() - start
-    nf = len(image_list)
     logger.info("Total time: %.2f s | FPS: %.2f | s/frame: %.4f", total, nf / total, total / nf)
     logger.info("stage timings:\n%s", slam.timer.report())
 

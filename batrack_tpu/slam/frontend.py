@@ -204,6 +204,7 @@ def gate_and_append(
     e_target = to_edge(target_3d).reshape(-1, 3)
     e_w = to_edge(weight).reshape(-1)
     e_wp = to_edge(weight_pose).reshape(-1)
+    e_st = to_edge(static_label.astype(jnp.float32)).reshape(-1)
     e_valid = to_edge(live.astype(jnp.float32) * jnp.broadcast_to(
         tin.query_valid[None, :], (S_slam, NQ)).astype(jnp.float32)).reshape(-1)
 
@@ -221,6 +222,7 @@ def gate_and_append(
             jnp.broadcast_to(e_wp[:, None], (eps, 2))
         ),
         e_valid=state.e_valid.at[rows].set(e_valid),
+        e_static=state.e_static.at[rows].set(e_st),
         slot_start=state.slot_start.at[slot].set(tin.win_start.astype(jnp.int32)),
         patches_valid=patches_valid,
         patches_monodisp=patches_monodisp,
@@ -236,7 +238,7 @@ def gate_and_append(
     lid_f = jnp.clip(local_id, 0, S_local - 1).reshape(-1)
 
     vis_e_edge = to_edge(vis_raw.astype(jnp.float32)).reshape(-1)
-    static_e_edge = to_edge(static_label.astype(jnp.float32)).reshape(-1)
+    static_e_edge = e_st
 
     state = state._replace(
         local_targets=state.local_targets.at[kk_f, lid_f].set(e_target, mode="drop"),

@@ -90,6 +90,46 @@ def generate_patches_random(key, *, M, ht, wd) -> jnp.ndarray:
     return jnp.stack([x, y], axis=-1)
 
 
+def generate_patches_sift(image_np, *, M: int, ht: int, wd: int, rng, margin: int = 16):
+    """`sift` patch sampling (batrack.py:246-279) — host-side, like the
+    reference (cv2 SIFT runs on CPU there too; the detector is inherently
+    data-dependent so it cannot live inside the jitted ingest).
+
+    Keypoints are margin-inset, shuffled, truncated to M; a shortfall is
+    padded with uniform random points. (The reference pads the y coordinate
+    from the *width* range, batrack.py:270 — fixed to the height range here.)
+    Returns (M, 2) float32 pixel coords.
+    """
+    import numpy as np
+
+    try:
+        import cv2
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("PATCH_GEN='sift' requires opencv-python") from e
+
+    img = np.asarray(image_np)
+    gray = cv2.cvtColor(img.astype(np.uint8), cv2.COLOR_RGB2GRAY)
+    lo, hi = int(gray.min()), int(gray.max())
+    gray = ((gray.astype(np.float32) - lo) * (255.0 / max(hi - lo, 1))).astype(np.uint8)
+    kps = cv2.SIFT_create().detect(gray, None)
+    kp = np.array([k.pt for k in kps], np.float32).reshape(-1, 2)
+    if len(kp):
+        keep = (
+            (kp[:, 0] > margin) & (kp[:, 0] < wd - margin)
+            & (kp[:, 1] > margin) & (kp[:, 1] < ht - margin)
+        )
+        kp = kp[keep]
+        rng.shuffle(kp)
+        kp = kp[:M]
+    if len(kp) < M:
+        diff = M - len(kp)
+        x = rng.integers(margin, wd - margin, size=diff)
+        y = rng.integers(margin, ht - margin, size=diff)
+        pad = np.stack([x, y], axis=-1).astype(np.float32)
+        kp = np.concatenate([pad, kp], axis=0)
+    return kp.astype(np.float32)
+
+
 def generate_patches_uniform(*, M, ht, wd) -> jnp.ndarray:
     """`uniform` grid patch sampling (batrack.py:235-240, sans dead import)."""
     m = int(round(M ** 0.5))
@@ -133,6 +173,7 @@ def ingest_frame(
     patch_gen: str,
     motion_damping: float,
     mark_valid: jnp.ndarray,  # () bool: set patches_valid for this frame
+    coords_override: jnp.ndarray = None,  # (M, 2) host-computed coords (sift)
 ) -> Tuple[SLAMState, jnp.ndarray]:
     """One frame into the buffers (batrack.py:937-988). Returns (state, coords)."""
     M = dims.M
@@ -151,6 +192,12 @@ def ingest_frame(
         coords = generate_patches_random(key, M=M, ht=dims.ht, wd=dims.wd)
     elif patch_gen == "uniform":
         coords = generate_patches_uniform(M=M, ht=dims.ht, wd=dims.wd)
+    elif patch_gen == "sift":
+        # detector runs on the host (generate_patches_sift); the system passes
+        # its result in as coords_override
+        if coords_override is None:
+            raise ValueError("PATCH_GEN='sift' needs host-computed coords")
+        coords = coords_override
     else:
         raise NotImplementedError(patch_gen)
 

@@ -49,6 +49,7 @@ class SLAMState(NamedTuple):
     e_weight: jnp.ndarray        # (E_CAP, 2) structure weights
     e_weight_pose: jnp.ndarray   # (E_CAP, 2) pose (static-only) weights
     e_valid: jnp.ndarray         # (E_CAP,)
+    e_static: jnp.ndarray        # (E_CAP,) static label per edge (visualizer feed)
     slot_start: jnp.ndarray      # (RING_SLOTS,) window-start frame per slot; -1 empty
 
     # rolling local window of raw frames (S_slam newest frames)
@@ -86,6 +87,7 @@ def init_state(cfg: Config, ht: int, wd: int) -> SLAMState:
         e_weight=jnp.zeros((E, 2), f32),
         e_weight_pose=jnp.zeros((E, 2), f32),
         e_valid=jnp.zeros((E,), f32),
+        e_static=jnp.zeros((E,), f32),
         slot_start=jnp.full((ring,), -1, jnp.int32),
         win_images=jnp.zeros((slam.S_slam, ht, wd, 3), f32),
         win_depths=jnp.zeros((slam.S_slam, ht, wd), f32),

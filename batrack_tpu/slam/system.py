@@ -49,6 +49,7 @@ class BATrack:
         self.state = init_state(cfg, ht, wd)
         self.tracker = tracker
         self.key = jax.random.PRNGKey(seed)
+        self._np_rng = np.random.default_rng(seed)  # host-side (sift patch gen)
 
         self.n = 0               # frames in buffer
         self.counter = 0         # total frames seen
@@ -136,6 +137,16 @@ class BATrack:
             self.visualizer.add_frame(image_np)
 
         self.key, sub = jax.random.split(self.key)
+        coords_override = None
+        if self.cfg.slam.PATCH_GEN == "sift":
+            from batrack_tpu.slam.ingest import generate_patches_sift
+
+            coords_override = jnp.asarray(
+                generate_patches_sift(
+                    image_np, M=self.dims.M, ht=self.dims.ht, wd=self.dims.wd,
+                    rng=self._np_rng,
+                )
+            )
         mark_valid = (self.n % self.cfg.slam.kf_stride == 0) and not self.is_initialized
         with self.timer.timed("ingest"):
             self.state, _ = self._ingest_timed(
@@ -147,6 +158,7 @@ class BATrack:
             jnp.asarray(self.counter, jnp.int32),
             sub,
             mark_valid=jnp.asarray(mark_valid),
+            coords_override=coords_override,
         )
 
         self.tlist.append(tstamp)
@@ -212,11 +224,14 @@ class BATrack:
             S, NS, M = self.dims.S_slam, self.dims.n_src, self.dims.M
             tgt = np.asarray(self.state.e_target[rows]).reshape(NS, M, S, 3)
             w = np.asarray(self.state.e_weight[rows, 0]).reshape(NS, M, S)
+            st = np.asarray(self.state.e_static[rows]).reshape(NS, M, S)
             self.visualizer.add_track({
                 "fid": self.n,
                 "targets": np.moveaxis(tgt[..., :2], 2, 0).reshape(S, NS * M, 2),
                 "weights": np.moveaxis(w, 2, 0).reshape(S, NS * M),
-                "static": None,
+                # static(green)/dynamic(red) split, the reference demo's
+                # signature rendering (slam_visualizer.py:165-188)
+                "static": np.moveaxis(st, 2, 0).reshape(S, NS * M),
             })
 
     def update(self) -> None:

@@ -29,6 +29,7 @@ class MDTrackerAdapter:
         seed: int = 0,
         dtype=None,
         backward_tracking: bool = False,
+        static_threshold: float = 0.1,
     ):
         import jax as _jax
 
@@ -41,6 +42,12 @@ class MDTrackerAdapter:
             self.p = self.p._replace(use_pallas_corr=False)
         self.model = MDTracker(self.p, dtype=dtype)
         self.backward_tracking = backward_tracking
+        # static-branch output merge (batrack.py:556-566): use_static_mask
+        # swaps in the static-branch track where the dynamic prob is high;
+        # use_static replaces everything with the static branch
+        self.use_static_mask = model_cfg.use_static_mask
+        self.use_static = model_cfg.use_static
+        self.static_threshold = static_threshold
         self.params = params  # {'params': ...}; random-init lazily if None
         self._seed = seed
         self._apply = jax.jit(self._forward, static_argnames=("reuse",))
@@ -63,6 +70,18 @@ class MDTrackerAdapter:
         q = queries.at[:, 1].mul(iw / W).at[:, 2].mul(ih / H)
         return window, q
 
+    def _static_merge(self, traj, depth, static3d, dyn):
+        """Static-branch merge (batrack.py:556-566, 600-609), model-resolution
+        coordinates; applied to forward and backward passes alike."""
+        if self.use_static_mask:
+            dyn_mask = dyn > (1.0 - self.static_threshold)
+            traj = jnp.where(dyn_mask[..., None], static3d[..., :2], traj)
+            depth = jnp.where(dyn_mask, static3d[..., 2], depth)
+        if self.use_static:
+            traj = static3d[..., :2]
+            depth = static3d[..., 2]
+        return traj, depth
+
     def _forward(self, params, window_rgbd, queries, prev_fmaps=None, reuse=0):
         ih, iw = self.p.interp_shape
         S, _, H, W = window_rgbd.shape
@@ -70,6 +89,7 @@ class MDTrackerAdapter:
         traj, depth, static3d, vis, dyn, fmaps = self.model.apply(
             params, window, q, prev_fmaps, reuse
         )
+        traj, depth = self._static_merge(traj, depth, static3d, dyn)
 
         scale = jnp.asarray([W / iw, H / ih], jnp.float32)
         tracks = traj * scale[None, None, :]
@@ -79,7 +99,10 @@ class MDTrackerAdapter:
             # (_compute_backward_tracks, batrack.py:590-629)
             inv_window = window[::-1]
             inv_q = q.at[:, 0].set(S - 1 - q[:, 0])
-            itraj, idepth, _, ivis, idyn, _ = self.model.apply(params, inv_window, inv_q)
+            itraj, idepth, istatic3d, ivis, idyn, _ = self.model.apply(
+                params, inv_window, inv_q
+            )
+            itraj, idepth = self._static_merge(itraj, idepth, istatic3d, idyn)
             itraj = itraj[::-1]
             idepth = idepth[::-1]
             ivis = ivis[::-1]

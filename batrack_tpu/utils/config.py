@@ -24,6 +24,8 @@ class SlamConfig:
     # windows (davis_demo.yaml:7-12)
     REMOVAL_WINDOW: int = 20
     OPTIMIZATION_WINDOW: int = 15
+    # reference-compat no-op: in configs/davis_demo.yaml:9 but never read by
+    # the reference code; accepted so reference YAMLs load unchanged
     PATCH_LIFETIME: int = 12
     KEYFRAME_INDEX: int = 4
     KEYFRAME_THRESH: float = 10.0
@@ -44,6 +46,9 @@ class SlamConfig:
     VIS_THRESHOLD: float = 0.9
     STATIC_THRESHOLD: float = 0.1
     STATIC_QUANTILE: float = 0.0
+    # reference-compat no-ops: declared in configs/davis_demo.yaml but never
+    # consumed by the reference either (batrack.py has no reader for them);
+    # accepted so reference YAMLs load unchanged
     CONF_THRESHOLD: float = 1.0
     CONF_QUANTILE: float = 0.8
 

@@ -218,3 +218,82 @@ class TestCheckpointResume:
         # after the resume point, so require agreement, not bit-equality
         err = np.abs(p_full[:, :3] - p_res[:, :3]).max()
         assert err < 0.05, err
+
+
+class TestVisualizerFeed:
+    def test_static_payload_present(self, scene):
+        """The visualizer feed must carry the static/dynamic split
+        (slam_visualizer.py:165-188 renders green/red from it)."""
+        from batrack_tpu.utils.visualizer import TrackVisualizer
+
+        poses_gt, depths, images = scene
+        cfg = small_config()
+        dims = StaticDims.from_config(cfg, HT, WD)
+        slam = BATrack(cfg, HT, WD, seed=0)
+        slam.tracker = OracleTracker(poses_gt, INTR, dims, noise=0.0)
+        slam.visualizer = TrackVisualizer(save_dir="/tmp/viz_test")
+        for t in range(10):
+            slam(t, images[t], depths[t], INTR)
+        assert slam.visualizer.tracks
+        for tr in slam.visualizer.tracks:
+            st = tr["static"]
+            assert st is not None
+            assert st.shape == tr["weights"].shape
+            assert np.isin(np.unique(st), [0.0, 1.0]).all()
+        # the oracle scene is fully static: live points must be labelled so
+        last = slam.visualizer.tracks[-1]
+        live = last["weights"] > 0
+        assert live.any()
+        assert last["static"][live].mean() > 0.9
+
+    def test_draw_with_static(self, scene):
+        from batrack_tpu.utils.visualizer import TrackVisualizer
+
+        viz = TrackVisualizer(save_dir="/tmp/viz_test")
+        for _ in range(4):
+            viz.add_frame(np.zeros((HT, WD, 3), np.uint8))
+        targets = np.tile(
+            np.array([[10.0, 10.0], [30.0, 20.0], [50.0, 30.0]], np.float32),
+            (4, 1, 1),
+        )
+        viz.add_track({
+            "fid": 4,
+            "targets": targets,
+            "weights": np.ones((4, 3), np.float32),
+            "static": np.array([[1, 0, 1]] * 4, np.float32),
+        })
+        frames = viz.draw_tracks_on_frames()
+        # green (static) and red (dynamic) pixels both rendered
+        f = frames[0]
+        assert (f[..., 1] > 150).any() and (f[..., 2] > 150).any()
+
+
+class TestSiftPatchGen:
+    def test_sift_mode_runs(self, scene):
+        cv2 = pytest.importorskip("cv2")
+        if not hasattr(cv2, "SIFT_create"):
+            pytest.skip("cv2 built without SIFT")
+        poses_gt, depths, images = scene
+        cfg = small_config()
+        cfg.slam.PATCH_GEN = "sift"
+        dims = StaticDims.from_config(cfg, HT, WD)
+        slam = BATrack(cfg, HT, WD, seed=0)
+        slam.tracker = OracleTracker(poses_gt, INTR, dims, noise=0.0)
+        for t in range(8):
+            slam(t, images[t], depths[t], INTR)
+        pts = np.asarray(slam.state.patches[: 8 * dims.M])
+        # all coords inside the image and finite
+        assert np.isfinite(pts).all()
+        assert (pts[:, 0] >= 0).all() and (pts[:, 0] < WD).all()
+        assert (pts[:, 1] >= 0).all() and (pts[:, 1] < HT).all()
+
+    def test_sift_coords_margin_and_count(self):
+        from batrack_tpu.slam.ingest import generate_patches_sift
+
+        pytest.importorskip("cv2")
+        rng = np.random.default_rng(0)
+        img = (np.random.default_rng(1).uniform(0, 255, (HT, WD, 3))).astype(np.uint8)
+        kp = generate_patches_sift(img, M=32, ht=HT, wd=WD, rng=rng, margin=4)
+        assert kp.shape == (32, 2)
+        assert (kp[:, 0] >= 4).all() and (kp[:, 0] <= WD - 4).all()
+        assert (kp[:, 1] >= 4).all() and (kp[:, 1] <= HT - 4).all()

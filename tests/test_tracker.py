@@ -356,3 +356,37 @@ def test_flash_attention_flag_is_noop_off_tpu(rng):
     o0 = a0.apply(params, x)
     o1 = a1.apply(params, x)
     np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+
+def test_adapter_static_merge():
+    """use_static / use_static_mask output merge (batrack.py:556-566)."""
+    import numpy as np
+
+    from batrack_tpu.tracker.adapter import MDTrackerAdapter
+    from batrack_tpu.utils.config import ModelConfig
+
+    S, NQ = 4, 6
+    rng_np = np.random.default_rng(0)
+    traj = jnp.asarray(rng_np.normal(size=(S, NQ, 2)), jnp.float32)
+    depth = jnp.asarray(rng_np.uniform(1, 5, size=(S, NQ)), jnp.float32)
+    static3d = jnp.asarray(rng_np.normal(size=(S, NQ, 3)), jnp.float32)
+    dyn = jnp.asarray(rng_np.uniform(0, 1, size=(S, NQ)), jnp.float32)
+
+    mc = ModelConfig(S=S, use_static=True)
+    ad = MDTrackerAdapter(mc)
+    t2, d2 = ad._static_merge(traj, depth, static3d, dyn)
+    assert jnp.allclose(t2, static3d[..., :2])
+    assert jnp.allclose(d2, static3d[..., 2])
+
+    mc = ModelConfig(S=S, use_static_mask=True)
+    ad = MDTrackerAdapter(mc, static_threshold=0.3)
+    t2, d2 = ad._static_merge(traj, depth, static3d, dyn)
+    m = np.asarray(dyn) > 0.7
+    assert np.allclose(np.asarray(t2)[m], np.asarray(static3d[..., :2])[m])
+    assert np.allclose(np.asarray(t2)[~m], np.asarray(traj)[~m])
+    assert np.allclose(np.asarray(d2)[m], np.asarray(static3d[..., 2])[m])
+
+    # both flags off: identity
+    ad = MDTrackerAdapter(ModelConfig(S=S))
+    t2, d2 = ad._static_merge(traj, depth, static3d, dyn)
+    assert jnp.allclose(t2, traj) and jnp.allclose(d2, depth)
