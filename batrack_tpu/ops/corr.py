@@ -43,13 +43,19 @@ def corr_sample_level(
     """Fused correlation sampling for one level. Returns (S, N, (2r+1)^2)."""
     C = fmaps.shape[1]
     d = 2 * radius + 1
-    # (S, N, C, d, d) bilinear feature windows
-    windows = patchify(fmaps, coords, radius)
+    # (S, N, C, d, d) bilinear feature windows; zero padding to match the
+    # reference CorrBlock.sample (grid_sample padding_mode='zeros')
+    windows = patchify(fmaps, coords, radius, padding_mode="zeros")
     # contract feature dim on the MXU
     corr = jnp.einsum(
         "snchw,snc->snhw", windows, targets, precision=jax.lax.Precision.HIGHEST
     )
     corr = corr / jnp.sqrt(jnp.asarray(C, corr.dtype))
+    # the reference flattens the window TRANSPOSED: its delta grid is
+    # meshgrid(dy, dx) but the centroid add is (x, y) (blocks.py:352-362), so
+    # out[i, j] reads the volume at (x+off_i, y+off_j). The checkpoint is
+    # trained with that layout — reproduce it.
+    corr = jnp.swapaxes(corr, -1, -2)
     return corr.reshape(corr.shape[0], corr.shape[1], d * d)
 
 

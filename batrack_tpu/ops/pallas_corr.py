@@ -43,10 +43,12 @@ def _corr_kernel(coords_ref, targets_ref, fmap_ref, out_ref, *, radius,
     C = fmap_ref.shape[-1]
     inv = np.float32(1.0 / np.sqrt(np.float32(C)))
 
-    # fmap is pre-padded by PAD = 2r+2 edge-replicated rows/cols; clamping the
-    # integer centre to [-(r+1), dim-1+r+1] reproduces the reference's per-tap
-    # index clamping exactly while bilinear weights keep the unclamped
-    # fractional part.
+    # fmap is pre-padded by PAD = 2r+2 ZERO rows/cols (grid_sample
+    # padding_mode='zeros', the CorrBlock.sample semantics); clamping the
+    # integer centre to [-(r+1), dim-1+r+1] keeps the loads in the padded
+    # slab. A window entirely beyond the border is all-zero taps except the
+    # left edge, where the clamped centre would let the dx-blend touch the
+    # first real column — zero dx/dy there so the result is exactly 0.
     PAD = 2 * radius + 2
 
     # static row-blend matrix: out rows q = (1-dy)*row[q] + dy*row[q+1]
@@ -66,8 +68,8 @@ def _corr_kernel(coords_ref, targets_ref, fmap_ref, out_ref, *, radius,
             cy = coords_ref[0, base + k, 1]
             x0 = jnp.floor(cx)
             y0 = jnp.floor(cy)
-            dx = cx - x0
-            dy = cy - y0
+            dx = jnp.where(x0 < -(radius + 1), 0.0, cx - x0)
+            dy = jnp.where(y0 < -(radius + 1), 0.0, cy - y0)
             xc = jnp.clip(x0.astype(jnp.int32), -(radius + 1), Wp + radius)
             yc = jnp.clip(y0.astype(jnp.int32), -(radius + 1), Hp + radius)
             xi = xc + (PAD - radius)   # padded col of tap (x0 - r)
@@ -110,9 +112,9 @@ def corr_sample_level_pallas(
 ) -> jnp.ndarray:
     """Fused correlation sampling for one pyramid level: (S, N, (2r+1)^2).
 
-    Numerically matches ops.corr.corr_sample_level (clamped-border bilinear
-    window times feature, scaled by 1/sqrt(C)) with the feature map read in
-    bf16 (f32 accumulation).
+    Numerically matches ops.corr.corr_sample_level (zero-padded bilinear
+    window times feature, reference-transposed flatten, scaled by 1/sqrt(C))
+    with the feature map read in bf16 (f32 accumulation).
     """
     S, C, H, W = fmaps.shape
     N = targets.shape[1]
@@ -123,12 +125,10 @@ def corr_sample_level_pallas(
     fm = jnp.moveaxis(fmaps, 1, -1)  # (S, H, W, C)
     # the horizontal slab is SLAB-wide from an 8-aligned start, so the right
     # padding must absorb alignment + slab overshoot (and keep the sublane
-    # dim a multiple of 8); extra edge columns are never selected.
+    # dim a multiple of 8); extra columns are never selected.
     slab = ((2 * radius + 2 + 7) // 8 + 1) * 8
     w_total = -((-(W + 2 * pad + slab)) // 8) * 8
-    fm = jnp.pad(
-        fm, ((0, 0), (pad, pad), (pad, w_total - W - pad), (0, 0)), mode="edge"
-    )
+    fm = jnp.pad(fm, ((0, 0), (pad, pad), (pad, w_total - W - pad), (0, 0)))
     # bf16 residency: a full f32 frame double-buffered exceeds the ~16 MB
     # VMEM budget at SLAM sizes; the contraction accumulates in f32.
     fm = fm.astype(jnp.bfloat16)
@@ -167,7 +167,9 @@ def corr_sample_level_pallas(
         interpret=interpret,
     )(coords_p, targets_p, fm)
 
-    return out[:, :N, :, :d].reshape(S, N, d * d)
+    # kernel windows are [y-offset, x-offset]; the reference layout is the
+    # transpose (see ops/corr.py corr_sample_level) — swap before flattening
+    return jnp.swapaxes(out[:, :N, :, :d], -1, -2).reshape(S, N, d * d)
 
 
 def corr_sample_pyramid_pallas(

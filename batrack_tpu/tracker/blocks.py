@@ -190,7 +190,11 @@ class Attention(nn.Module):
     flash_threshold: int = 1024  # below this, dispatch + pad overhead wins
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, key_mask=None):
+        """key_mask: optional (N,) bool — False keys are excluded from the
+        softmax (the reference slices inactive tracks out of the tensor
+        entirely, md_tracker.py:617-626; a -inf bias is the masked-shape
+        equivalent)."""
         B, N, C = x.shape
         head = C // self.num_heads
         qkv = nn.Dense(3 * C, name="qkv", dtype=self.dtype)(x)
@@ -200,13 +204,15 @@ class Attention(nn.Module):
         k = jnp.moveaxis(k, 1, 2)
         v = jnp.moveaxis(v, 1, 2)
         scale = head ** -0.5
-        if (self.use_flash and N >= self.flash_threshold
+        if (self.use_flash and key_mask is None and N >= self.flash_threshold
                 and jax.default_backend() == "tpu"):
             out = _tpu_flash_attention(q, k, v, scale)
-        elif N > self.chunk_threshold:
+        elif key_mask is None and N > self.chunk_threshold:
             out = _chunked_attention(q, k, v, scale, self.chunk)
         else:
             attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+            if key_mask is not None:
+                attn = jnp.where(key_mask[None, None, None, :], attn, -1e30)
             attn = jax.nn.softmax(attn, axis=-1)
             out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = jnp.moveaxis(out, 1, 2).reshape(B, N, C)
@@ -237,9 +243,10 @@ class AttnBlock(nn.Module):
     use_flash: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, key_mask=None):
         x = x + Attention(self.hidden_size, self.num_heads, self.dtype,
-                          use_flash=self.use_flash, name="attn")(layer_norm(x))
+                          use_flash=self.use_flash, name="attn")(
+            layer_norm(x), key_mask)
         x = x + Mlp(int(self.hidden_size * self.mlp_ratio), self.hidden_size,
                     self.dtype, name="mlp")(layer_norm(x))
         return x
@@ -260,8 +267,10 @@ class UpdateFormer(nn.Module):
     use_flash: bool = False
 
     @nn.compact
-    def __call__(self, x):
-        # x: (B, N, T, input_dim)
+    def __call__(self, x, key_mask=None):
+        # x: (B, N, T, input_dim); key_mask: optional (N,) bool active-track
+        # mask applied to the space attention only (time attention, MLPs and
+        # norms are per-track, so absent tracks cannot leak through them)
         B, N, T, _ = x.shape
         x = nn.Dense(self.hidden_size, name="input_transform", dtype=self.dtype)(x)
 
@@ -276,7 +285,7 @@ class UpdateFormer(nn.Module):
                 xs = jnp.moveaxis(x, 1, 2).reshape(B * T, N, self.hidden_size)
                 xs = AttnBlock(self.hidden_size, self.num_heads, self.mlp_ratio,
                                self.dtype, use_flash=self.use_flash,
-                               name=f"space_blocks_{j}")(xs)
+                               name=f"space_blocks_{j}")(xs, key_mask)
                 x = jnp.moveaxis(xs.reshape(B, T, N, self.hidden_size), 1, 2)
                 j += 1
 
@@ -286,12 +295,14 @@ class UpdateFormer(nn.Module):
 class MotionLabelMLP(nn.Module):
     """Per-track dynamic-motion logit (blocks.py:461-485, mlp_v1).
 
-    Note the reference pools with AvgPool1d(kernel_size=S_cfg) where S_cfg=8
-    while the sequence length is 12: only the first 8 frames are averaged.
+    The reference pools with AvgPool1d(kernel_size=S) where S is the tracker
+    sliding-window length (MotionLabelBlock is built with S=self.S,
+    md_tracker.py:146; the motion_label_block config's own S=8 is never read)
+    — so the mean runs over the full window.
     """
 
     hidden_dim: int = 256
-    pool_S: int = 8
+    pool_S: int = 12
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

@@ -98,20 +98,34 @@ class TrackerParams(NamedTuple):
         )
 
 
-def _scrambled_concat(track_mask: jnp.ndarray, vis: jnp.ndarray) -> jnp.ndarray:
+def _scrambled_concat(track_mask: jnp.ndarray, vis: jnp.ndarray,
+                      cnt=None) -> jnp.ndarray:
     """The reference fix_track_mask=False concat (md_tracker.py:280-285).
 
-    torch.cat([track_mask, vis], dim=2) on (1, S, N, 1) then
-    permute(0,2,1,3).reshape(N, S, 2) interleaves *pairs of tracks* rather
-    than the two channels. The released checkpoint was trained with this, so
-    it is reproduced bit-exactly.
+    torch.cat([track_mask, vis], dim=2) on (1, S, cnt, 1) then
+    permute(0,2,1,3).reshape(cnt, S, 2) interleaves *adjacent tracks* (and
+    frames) rather than the two channels: output row n, frame s, channel c
+    reads logical channel k = 2n + (2s+c)//S of the [track_mask | vis]
+    axis at frame (2s+c) % S. The released checkpoint was trained with
+    this, so it is reproduced bit-exactly.
+
+    The reference builds this on the tensor of the first `cnt` *sorted*
+    tracks (md_tracker.py:617-626 slices to wind_idx), so the channel axis
+    has length 2*cnt, not 2*N — callers must pass columns already in sorted
+    order plus the active count `cnt` (traced OK; defaults to N). Rows
+    n >= cnt are garbage, exactly like the reference's absent rows.
 
     track_mask, vis: (S, N). Returns (N, S, 2).
     """
     S, N = track_mask.shape
-    A = jnp.concatenate([track_mask, vis], axis=1)  # (S, 2N)
-    A = jnp.moveaxis(A, 0, 1)                        # (2N, S)
-    return A.reshape(N, S, 2)                        # row-major regroup
+    if cnt is None:
+        cnt = N
+    sc = 2 * np.arange(S)[None, :, None] + np.arange(2)[None, None, :]
+    k = jnp.asarray(2 * np.arange(N)[:, None, None] + sc // S)  # (N, S, 2)
+    f = jnp.asarray(sc % S)
+    tm_val = track_mask[f, jnp.clip(k, 0, N - 1)]
+    vis_val = vis[f, jnp.clip(k - cnt, 0, N - 1)]
+    return jnp.where(k < cnt, tm_val, vis_val)
 
 
 class MDTracker(nn.Module):
@@ -145,7 +159,7 @@ class MDTracker(nn.Module):
         self.ffeat_updater = nn.Dense(self.p.latent_dim, name="ffeat_updater",
                                       dtype=self.dtype)
         self.vis_predictor = nn.Dense(1, name="vis_predictor", dtype=self.dtype)
-        self.motion_label = MotionLabelMLP(hidden_dim=256, pool_S=8,
+        self.motion_label = MotionLabelMLP(hidden_dim=256, pool_S=p.S,
                                            dtype=self.dtype, name="motion_label_block")
         self.embed3d = FourierEmbedder(input_dim=3, max_freq_log2=10.0, N_freqs=10)
         self.embedConv = nn.Conv(self.p.latent_dim, (3, 3), padding=1,
@@ -159,11 +173,18 @@ class MDTracker(nn.Module):
     def depth_process_inv(self, d):
         return jnp.exp(d) if self.p.use_log_depth else d
 
-    def encode_window(self, rgbs: jnp.ndarray, depths_dnG: jnp.ndarray) -> jnp.ndarray:
+    def encode_window(self, rgbs: jnp.ndarray, depths_dnG: jnp.ndarray,
+                      z_stats=None) -> jnp.ndarray:
         """fnet + Fourier xyz positional fusion (md_tracker.py:519-546).
 
         rgbs: (S, 3, H, W) normalized to [-1, 1]; depths_dnG: (S, H/4, W/4)
         depth in [0, Dz] grid units. Returns fmaps (S, H/4, W/4, C).
+
+        z_stats: optional (zmin, zmax) for the z-channel normalisation. The
+        reference normalises gridxyz over the FULL S-frame window even when
+        only the new half is encoded (md_tracker.py:524-546 builds featPE
+        from all S depths, then slices featPE[S//2:]) — callers encoding a
+        partial window must pass the full window's stats.
         """
         S, _, H, W = rgbs.shape
         h4, w4 = H // self.p.stride, W // self.p.stride
@@ -176,12 +197,14 @@ class MDTracker(nn.Module):
         gyy = jnp.broadcast_to(gy[None, :, None], (S, h4, w4))
         gzz = depths_dnG
 
-        def norm01(v):
-            vmin = v.min()
-            vmax = v.max()
+        def norm01(v, stats=None):
+            vmin = v.min() if stats is None else stats[0]
+            vmax = v.max() if stats is None else stats[1]
             return 2.0 * ((v - vmin) / jnp.maximum(vmax - vmin, 1e-12) - 0.5)
 
-        xyz = jnp.stack([norm01(gxx), norm01(gyy), norm01(gzz)], axis=-1)
+        xyz = jnp.stack(
+            [norm01(gxx), norm01(gyy), norm01(gzz, z_stats)], axis=-1
+        )
         featPE = self.embed3d(xyz)  # (S, h4, w4, 63)
         return self.embedConv(jnp.concatenate([fmaps, featPE], axis=-1))
 
@@ -193,10 +216,11 @@ class MDTracker(nn.Module):
         coords_dyn_init: jnp.ndarray,
         feat_init: jnp.ndarray,    # (S, N, C)
         vis_init: jnp.ndarray,     # (S, N)
-        track_mask: jnp.ndarray,   # (S, N)
+        concat: jnp.ndarray,       # (N, S, 2) pre-scrambled mask/vis channels
         d_near: jnp.ndarray,
         d_far: jnp.ndarray,
         Dz: float,
+        key_mask: jnp.ndarray | None = None,  # (N,) active tracks (space attn)
     ):
         """One window's iterative refinement (md_tracker.py:181-413)."""
         p = self.p
@@ -252,20 +276,22 @@ class MDTracker(nn.Module):
 
             fcorrs_nsc = jnp.moveaxis(fcorrs, 0, 1)                 # (N, S, LRR)
             ffeats_nsc = jnp.moveaxis(ffeats, 0, 1)                 # (N, S, C)
-            concat = _scrambled_concat(track_mask, vis_init)        # (N, S, 2)
 
             x = jnp.concatenate([flows_cat, fcorrs_nsc, ffeats_nsc, concat], axis=-1)
             x = x + pe[:, None, :] + times_embed[None, :, :]
-            delta = transformer(x[None])[0]                         # (N, S, C+3)
+            delta = transformer(x[None], key_mask)[0]               # (N, S, C+3)
             d_coords = jnp.moveaxis(delta[..., :3], 0, 1)           # (S, N, 3)
             d_feats = delta[..., 3:]                                # (N, S, C)
             return d_coords, d_feats
 
         # torch Sequential(Linear, GELU) applies GELU after the Linear
-        # (md_tracker.py:134-137)
+        # (md_tracker.py:134-137). The GroupNorm(1, C) runs on flattened
+        # (B*N*S, C) rows in the reference (md_tracker.py:306-309) — flax
+        # GroupNorm on (N, S, C) would reduce over S too, so flatten first.
         def feat_update(ffeats, d_feats_nsc):
-            upd = self.ffeat_updater(self.norm(d_feats_nsc))
-            upd = jax.nn.gelu(upd, approximate=False)
+            N_, S_, C_ = d_feats_nsc.shape
+            normed = self.norm(d_feats_nsc.reshape(-1, C_)).reshape(N_, S_, C_)
+            upd = jax.nn.gelu(self.ffeat_updater(normed), approximate=False)
             return jnp.moveaxis(upd, 0, 1) + ffeats  # back to (S, N, C)
 
         coord_pred = None
@@ -344,6 +370,12 @@ class MDTracker(nn.Module):
         d_far = jnp.maximum(d_far, d_near + 1e-3)
 
         first_ind = queries[:, 0].astype(jnp.int32)
+        # the reference sorts tracks by first-visible frame (md_tracker.py:
+        # 426-431) and runs the network on the sorted layout; everything is
+        # permutation-equivariant except the scrambled concat, which couples
+        # *adjacent sorted tracks* — so build it in sorted space
+        sort_perm = jnp.argsort(first_ind, stable=True)
+        inv_perm = jnp.argsort(sort_perm)
 
         # init coords in grid units (md_tracker.py:461-469)
         q_xy = queries[:, 1:3] / float(p.stride)
@@ -373,15 +405,21 @@ class MDTracker(nn.Module):
         for w in range(n_wind):
             ind = w * (S // 2)
             frame_ids = np.clip(ind + np.arange(S), 0, T - 1)  # repeat last (pad)
+            # z-normalisation stats always come from the full S-frame window
+            # (md_tracker.py:524-531), even when only part of it is encoded
+            zwin = depths_dn[frame_ids]
+            z_stats = (zwin.min(), zwin.max())
             if fmaps is None and prev_fmaps is not None and reuse > 0:
                 new_ids = frame_ids[S - reuse:]
-                fm_new = self.encode_window(rgbs[new_ids], depths_dn[new_ids])
+                fm_new = self.encode_window(rgbs[new_ids], depths_dn[new_ids],
+                                            z_stats)
                 fmaps = jnp.concatenate([prev_fmaps[reuse:], fm_new], axis=0)
             elif fmaps is None:
                 fmaps = self.encode_window(rgbs[frame_ids], depths_dn[frame_ids])
             else:
                 new_ids = frame_ids[S // 2:]
-                fmaps_new = self.encode_window(rgbs[new_ids], depths_dn[new_ids])
+                fmaps_new = self.encode_window(rgbs[new_ids], depths_dn[new_ids],
+                                               z_stats)
                 fmaps = jnp.concatenate([fmaps[S // 2:], fmaps_new], axis=0)
 
             active = first_ind < ind + S
@@ -397,14 +435,35 @@ class MDTracker(nn.Module):
                 feat_init,
             )
 
-            track_mask = (
-                (ind + np.arange(S))[:, None] >= first_ind[None, :]
-            ).astype(jnp.float32) * active[None, :]
+            # track mask (md_tracker.py:456-458 + the :645 zeroing): 1 where
+            # the frame is real (t < T), at/after the query's first frame, and
+            # not already consumed by a previous window — the reference zeroes
+            # track_mask_[:, :ind+S] after each window, so carried-over tracks
+            # contribute only the new second half
+            t_ids = ind + np.arange(S)
+            tm = (t_ids[:, None] >= first_ind[None, :]) & (t_ids < T)[:, None]
+            tm = tm & active[None, :]
+            if w > 0:
+                second_half = (np.arange(S) >= S // 2)[:, None]
+                tm = tm & (second_half | ~prev_active[None, :])
+            track_mask = tm.astype(jnp.float32)
+
+            # scrambled concat in sorted space over the active tracks, then
+            # back to our unsorted static layout
+            cnt = jnp.sum(active.astype(jnp.int32))
+            concat = _scrambled_concat(
+                track_mask[:, sort_perm], vis_init[:, sort_perm], cnt
+            )[inv_perm]
+
+            # the reference runs the transformer only on active (sorted)
+            # tracks; masking the space-attention keys is the static-shape
+            # equivalent. Single-window runs have every query active.
+            key_mask = active if n_wind > 1 else None
 
             (coord_p, depth_p, static_p, vis_p, dyn_logit, coords_fin, coords_dyn_fin
              ) = self.forward_iteration(
                 fmaps, coords_init, coords_dyn_init, feat_init, vis_init,
-                track_mask, d_near, d_far, Dz,
+                concat, d_near, d_far, Dz, key_mask,
             )
 
             # scatter window results into the global timeline for active queries

@@ -88,7 +88,10 @@ def test_corr_fused_matches_full_volume(rng):
     pyramid = build_pyramid(jnp.asarray(fmaps), levels)
     out = corr_sample_pyramid(pyramid, jnp.asarray(targets), jnp.asarray(coords), radius)
 
-    # reference path: full (S, N, H, W) volume then bilinear window sample
+    # reference path: full (S, N, H, W) volume then the CorrBlock.sample
+    # window (blocks.py:343-369): zero-padded grid_sample bilinear taps, and
+    # the transposed delta layout — window element [i, j] samples the volume
+    # at (x + off_i, y + off_j)
     d = 2 * radius + 1
     expected = []
     for lvl in range(levels):
@@ -99,14 +102,16 @@ def test_corr_fused_matches_full_volume(rng):
         for s in range(S):
             for n in range(N):
                 cx, cy = coords[s, n] / (2**lvl)
-                for iy, dy in enumerate(range(-radius, radius + 1)):
-                    for ix, dx in enumerate(range(-radius, radius + 1)):
+                for i, dx in enumerate(range(-radius, radius + 1)):
+                    for j, dy in enumerate(range(-radius, radius + 1)):
                         x, y = cx + dx, cy + dy
                         x0, y0 = int(np.floor(x)), int(np.floor(y))
                         wx, wy = x - x0, y - y0
                         def at(yy, xx):
-                            return vol[s, n, np.clip(yy, 0, Hl - 1), np.clip(xx, 0, Wl - 1)]
-                        lvl_out[s, n, iy, ix] = (
+                            if 0 <= yy < Hl and 0 <= xx < Wl:
+                                return vol[s, n, yy, xx]
+                            return 0.0
+                        lvl_out[s, n, i, j] = (
                             (1 - wy) * (1 - wx) * at(y0, x0)
                             + (1 - wy) * wx * at(y0, x0 + 1)
                             + wy * (1 - wx) * at(y0 + 1, x0)
