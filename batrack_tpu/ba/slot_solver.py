@@ -87,7 +87,59 @@ def slot_ba_iteration(
     structure_only: bool = False,
     axis_name: str | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One damped GN step over the dense slot graph."""
+    """One damped GN step over the dense slot graph (flat-patch wrapper)."""
+    Nf = poses.shape[0]
+    M = graph.targets.shape[2]
+    poses_out, p_fm = slot_ba_iteration_fm(
+        poses, patches.reshape(Nf, M, 3), monodisp.reshape(Nf, M),
+        intrinsics, graph, t0, n, base_k // M,
+        window=window, patch_window=patch_window,
+        patches_per_frame=patches_per_frame, kf_stride=kf_stride,
+        bounds=bounds, ep=ep, lmbda=lmbda, lm=lm, alpha=alpha, loss=loss,
+        structure_only=structure_only, axis_name=axis_name,
+    )
+    return poses_out, p_fm.reshape(Nf * M, 3)
+
+
+def slot_ba_iteration_fm(
+    poses: jnp.ndarray,        # (N, 7)
+    patches_fm: jnp.ndarray,   # (N, Mb, 3) frame-major patch block
+    monodisp_fm: jnp.ndarray,  # (N, Mb)
+    intrinsics: jnp.ndarray,   # (N, 4)
+    graph: SlotGraph,
+    t0: jnp.ndarray,
+    n: jnp.ndarray,
+    base_f: jnp.ndarray,       # first frame of the depth window
+    *,
+    window: int,
+    patch_window: int,
+    patches_per_frame: int,
+    kf_stride: int,
+    bounds: Tuple[float, float, float, float],
+    ep: float = 10.0,
+    lmbda: float = 1e-4,
+    lm: float = 1e-4,
+    alpha: float = 0.05,
+    loss: str = "huber",
+    structure_only: bool = False,
+    axis_name: str | None = None,
+    shard_mode: str = "slots",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One damped GN step over the dense slot graph.
+
+    Patch axes are frame-major blocks so the patch dimension Mb may be a
+    device-local shard of the global M (the production multi-chip layout,
+    parallel/sharded_slot_ba.py). With axis_name set:
+
+      * shard_mode='slots'   — the SLOT axis is sharded: every device sees a
+        subset of groups for all patches, so the per-patch normal-equation
+        pieces (E, C, w) must be psum'd alongside the pose blocks.
+      * shard_mode='patches' — the PATCH axis is sharded: every device sees
+        all groups for its patch shard, so C/w/E are complete locally; only
+        the pose blocks B/v and the Schur contributions E·Q·Eᵀ and E·Q·w
+        cross devices (the distributed-Schur layout: raw per-patch data
+        never leaves its shard).
+    """
     R, NS, M, S, _ = graph.targets.shape
     W = window
     PF = patch_window               # frames in the depth window
@@ -110,7 +162,7 @@ def slot_ba_iteration(
     intr_j = jnp.take(intrinsics, j_cl.reshape(-1), axis=0).reshape(R, S, 4)
 
     # ---- patch back-projection (per source group, broadcast over s) -----
-    P = jnp.take(patches.reshape(Nf, M, 3), i_cl.reshape(-1), axis=0)
+    P = jnp.take(patches_fm, i_cl.reshape(-1), axis=0)
     P = P.reshape(R, NS, M, 3)
     fx_i = intr_i[..., 0:1]
     fy_i = intr_i[..., 1:2]
@@ -230,7 +282,6 @@ def slot_ba_iteration(
     wk = jnp.einsum("cgm,cgm->gm", w_t * Jz_t, r_t, precision=_HI)
 
     # ---- assembly: one-hot matmuls over tiny index sets -----------------
-    base_f = base_k // M                                # first depth-window frame
     i_loc = (i_fr - t0)[:, :, None]                     # (R, NS, 1)
     j_loc = (j_fr - t0)[:, None, :]                     # (R, 1, S)
     i_loc = jnp.broadcast_to(i_loc, (R, NS, S)).reshape(G_)
@@ -282,7 +333,7 @@ def slot_ba_iteration(
     wvec = jnp.matmul(f_oh, wk, precision=_HI).reshape(K)
     edge_counts = jnp.matmul(f_oh, (v).reshape(G_, M), precision=_HI).reshape(K)
 
-    if axis_name is not None:
+    if axis_name is not None and shard_mode == "slots":
         B = jax.lax.psum(B, axis_name)
         E_mat = jax.lax.psum(E_mat, axis_name)
         C = jax.lax.psum(C, axis_name)
@@ -291,9 +342,9 @@ def slot_ba_iteration(
         edge_counts = jax.lax.psum(edge_counts, axis_name)
 
     # ---- prior + Schur + solve (identical to ba/solver.py) --------------
-    patch_ids = base_k + jnp.arange(K)
-    disps_k = jnp.take(patches[:, 2], patch_ids, mode="clip")
-    sens_k = jnp.take(monodisp, patch_ids, mode="clip")
+    rows_pf = base_f + jnp.arange(PF)                   # depth-window frames
+    disps_k = jnp.take(patches_fm[..., 2], rows_pf, axis=0, mode="clip").reshape(K)
+    sens_k = jnp.take(monodisp_fm, rows_pf, axis=0, mode="clip").reshape(K)
     mprior = (sens_k > 1e-2).astype(dtype)
 
     C_adj = C + mprior * alpha + lmbda
@@ -306,10 +357,17 @@ def slot_ba_iteration(
         poses_out = poses
     else:
         E2 = jnp.swapaxes(E_mat, 1, 2).reshape(W * 6, K)
-        Sm = jnp.transpose(B, (0, 2, 1, 3)).reshape(W * 6, W * 6) - jnp.matmul(
-            E2 * Q[None, :], E2.T, precision=_HI
-        )
-        y = vvec.reshape(W * 6) - jnp.matmul(E2, Q * w_adj, precision=_HI)
+        EQE = jnp.matmul(E2 * Q[None, :], E2.T, precision=_HI)
+        Ew = jnp.matmul(E2, Q * w_adj, precision=_HI)
+        if axis_name is not None and shard_mode == "patches":
+            # distributed Schur: per-patch pieces stay local; only the pose
+            # blocks and the K-contracted contributions cross devices
+            B = jax.lax.psum(B, axis_name)
+            vvec = jax.lax.psum(vvec, axis_name)
+            EQE = jax.lax.psum(EQE, axis_name)
+            Ew = jax.lax.psum(Ew, axis_name)
+        Sm = jnp.transpose(B, (0, 2, 1, 3)).reshape(W * 6, W * 6) - EQE
+        y = vvec.reshape(W * 6) - Ew
 
         def damped_solve(lm_val):
             A = Sm + (ep + lm_val * jnp.diag(Sm)) * jnp.eye(W * 6, dtype=Sm.dtype)
@@ -327,6 +385,6 @@ def slot_ba_iteration(
         full_dx = full_dx.at[t0 + jnp.arange(W)].add(dX, mode="drop")
         poses_out = se3.retr(poses, full_dx)
 
-    disps = patches[:, 2].at[patch_ids].add(dZ, mode="drop")
-    patches_out = patches.at[:, 2].set(jnp.clip(disps, 1e-3, 10.0))
+    disps = patches_fm[..., 2].at[rows_pf].add(dZ.reshape(PF, M), mode="drop")
+    patches_out = patches_fm.at[..., 2].set(jnp.clip(disps, 1e-3, 10.0))
     return poses_out, patches_out

@@ -30,6 +30,36 @@ def build_stream(cfg):
 
     d = cfg.data
     depthdir_gt = d.depthdir_gt or d.depthdir
+    if d.native_prefetch and d.traj_format not in ("sintel", "tartanair"):
+        # native C++ prefetch loader (decode/crop on background threads);
+        # yields frames identical to the Python streams
+        # (tests/test_data.py::test_native_stream_matches_python)
+        from batrack_tpu.data import native_rgbd_stream
+        from batrack_tpu.data.native_loader import available
+        from batrack_tpu.data.streams import _glob_sorted, IMG_EXTS
+
+        if available():
+            image_list = _glob_sorted(d.imagedir, IMG_EXTS)
+            depth_list = _glob_sorted(d.depthdir, ["*.npy"])
+            end = d.end if d.end != -1 else len(image_list)
+            if d.traj_format == "davis":
+                K_list = _glob_sorted(d.calib, ["*.npy"])
+                Ks = np.array([np.load(str(k)) for k in K_list])
+                Ks = Ks[d.skip:end:d.stride]
+                intr = np.stack(
+                    [Ks[:, 0, 0], Ks[:, 1, 1], Ks[:, 0, 2], Ks[:, 1, 2]], -1
+                )
+                intrinsics_fn = lambda t: intr[t]
+            else:
+                calib = np.loadtxt(d.calib, delimiter=" ")
+                fixed = np.array(calib[:4])
+                intrinsics_fn = lambda t: fixed
+            return native_rgbd_stream(
+                image_list[d.skip:end:d.stride],
+                depth_list[d.skip:end:d.stride],
+                intrinsics_fn,
+            )
+        logger.warning("native loader unavailable; using the Python stream")
     if d.traj_format == "sintel":
         return sintel_rgbd_stream(
             d.imagedir, d.depthdir, depthdir_gt, d.calib, d.stride, d.skip, d.end,
@@ -95,7 +125,21 @@ def main(argv=None) -> int:
             depth_list_gt.append(depth_gt)
         if slam is None:
             ht, wd = image.shape[:2]
-            slam = BATrack(cfg, ht, wd, seed=args.seed)
+            mesh = None
+            if cfg.slam.mesh_devices:
+                from batrack_tpu.parallel.mesh import (
+                    get_host_chip_mesh,
+                    get_mesh,
+                    init_distributed,
+                )
+
+                if cfg.slam.distributed:
+                    init_distributed()
+                    mesh = get_host_chip_mesh()
+                else:
+                    mesh = get_mesh(cfg.slam.mesh_devices)
+                logger.info("device mesh: %s", mesh)
+            slam = BATrack(cfg, ht, wd, seed=args.seed, mesh=mesh)
             slam.timer.enabled = True
             if cfg.save_video:
                 from batrack_tpu.utils.visualizer import TrackVisualizer
@@ -111,6 +155,7 @@ def main(argv=None) -> int:
                 backward_tracking=cfg.slam.backward_tracking
                 and cfg.slam.S_slam > cfg.model.S,
                 static_threshold=cfg.slam.STATIC_THRESHOLD,
+                mesh=mesh,
             )
         slam(t, image, depth, intrinsics)
 

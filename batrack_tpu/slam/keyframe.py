@@ -34,6 +34,30 @@ def motion_magnitude(
     return jnp.where(sel, flow, 0.0).sum() / cnt
 
 
+def motion_magnitude_pair(
+    state: SLAMState, i: jnp.ndarray, j: jnp.ndarray, k: jnp.ndarray,
+    dims: StaticDims, beta: float = 0.5,
+) -> jnp.ndarray:
+    """0.5 * (mag(i->k) + mag(j->k)) in one program (batrack.py:1026-1031).
+
+    The keyframe decision needs both magnitudes; evaluating flow_mag once and
+    selecting twice halves both the compute and — more importantly on a
+    tunneled TPU — the host sync count (one scalar fetch per kf decision).
+    """
+    ii = state.e_kk // dims.M
+    flow = projective.flow_mag(
+        state.poses, state.patches, state.intrinsics,
+        ii, state.e_jj, state.e_kk, beta=beta,
+    )
+    live = state.e_valid > 0
+
+    def mean_sel(a):
+        sel = (ii == a) & (state.e_jj == k) & live
+        return jnp.where(sel, flow, 0.0).sum() / jnp.maximum(sel.sum(), 1)
+
+    return 0.5 * (mean_sel(i) + mean_sel(j))
+
+
 def remove_keyframe(
     state: SLAMState, k: jnp.ndarray, n: jnp.ndarray, dims: StaticDims
 ) -> SLAMState:

@@ -43,8 +43,15 @@ class BATrack:
         wd: int,
         tracker: Optional[TrackerFn] = None,
         seed: int = 0,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh — when set, the backend update
+        runs patch-sharded over it (parallel/sharded_slot_ba.py; the flat
+        edge-sharded solver when use_keyframe forces the flat backend) and a
+        mesh-aware tracker adapter shards the query axis. Single-device
+        behaviour is unchanged when None."""
         self.cfg = cfg
+        self.mesh = mesh
         self.dims = StaticDims.from_config(cfg, ht, wd)
         self.state = init_state(cfg, ht, wd)
         self.tracker = tracker
@@ -62,17 +69,26 @@ class BATrack:
         from batrack_tpu.utils.profiling import StageTimer
 
         self.timer = StageTimer(enabled=False)
+        # when True, each timed stage fetches a scalar from its output so the
+        # StageTimer reads device time, not dispatch time (the tunneled TPU
+        # executes asynchronously even through block_until_ready). Serialises
+        # the pipeline — enable only for profiling, never in production.
+        self.sync_stages = False
 
         slam = cfg.slam
         dims = self.dims
 
+        # state (arg 0) is donated in every state->state stage: the caller
+        # always replaces self.state with the output, and donation lets XLA
+        # update the ~300 MB of ring buffers in place instead of copying
         self._ingest = jax.jit(
             functools.partial(
                 ingest_frame,
                 dims=dims,
                 patch_gen=slam.PATCH_GEN,
                 motion_damping=slam.MOTION_DAMPING,
-            )
+            ),
+            donate_argnums=(0,),
         )
         self._build_input = jax.jit(
             functools.partial(build_tracker_input, dims=dims)
@@ -86,7 +102,8 @@ class BATrack:
                 static_quantile=slam.STATIC_QUANTILE,
                 min_track_len=slam.MIN_TRACK_LEN,
                 boundary_padding=slam.BOUNDARY_PADDING,
-            )
+            ),
+            donate_argnums=(0,),
         )
         if slam.use_keyframe and slam.BA_BACKEND == "slot":
             # frame deletion breaks dense slot addressing; use the flat solver
@@ -94,18 +111,47 @@ class BATrack:
 
             slam = dataclasses.replace(slam, BA_BACKEND="flat")
             self.cfg.slam = slam
-        self._update = jax.jit(
-            functools.partial(slam_update, dims=dims, cfg=slam)
-        )
+        if mesh is not None and slam.BA_BACKEND == "slot":
+            from batrack_tpu.parallel.sharded_slot_ba import (
+                sharded_slot_slam_update,
+            )
+
+            self._update = jax.jit(
+                functools.partial(
+                    sharded_slot_slam_update, dims=dims, cfg=slam, mesh=mesh
+                ),
+                donate_argnums=(0,),
+            )
+        elif mesh is not None:
+            from batrack_tpu.parallel.sharded_ba import sharded_slam_update
+            from batrack_tpu.parallel.sharded_slot_ba import full_axis
+
+            self._update = jax.jit(
+                functools.partial(
+                    sharded_slam_update, dims=dims, cfg=slam, mesh=mesh,
+                    axis=full_axis(mesh),
+                ),
+                donate_argnums=(0,),
+            )
+        else:
+            self._update = jax.jit(
+                functools.partial(slam_update, dims=dims, cfg=slam),
+                donate_argnums=(0,),
+            )
         if slam.use_keyframe:
             from batrack_tpu.slam.keyframe import (
-                motion_magnitude,
+                motion_magnitude_pair,
                 remove_keyframe,
                 remove_window_frame,
             )
 
-            self._motionmag = jax.jit(functools.partial(motion_magnitude, dims=dims))
-            self._remove_kf = jax.jit(functools.partial(remove_keyframe, dims=dims))
+            self._motionmag_pair = jax.jit(
+                functools.partial(motion_magnitude_pair, dims=dims)
+            )
+            self._remove_kf = jax.jit(
+                functools.partial(remove_keyframe, dims=dims),
+                donate_argnums=(0,),
+            )
             self._remove_win = jax.jit(
                 functools.partial(remove_window_frame, dims=dims)
             )
@@ -148,7 +194,7 @@ class BATrack:
                 )
             )
         mark_valid = (self.n % self.cfg.slam.kf_stride == 0) and not self.is_initialized
-        with self.timer.timed("ingest"):
+        with self.timer.timed("ingest", sync=self._state_sync()):
             self.state, _ = self._ingest_timed(
             self.state,
             image,
@@ -187,6 +233,12 @@ class BATrack:
     def _ingest_timed(self, *args, **kwargs):
         return self._ingest(*args, **kwargs)
 
+    def _state_sync(self):
+        """Scalar-fetch sync for honest stage timing (None when disabled)."""
+        if not self.sync_stages:
+            return None
+        return lambda: float(self.state.tstamps[0])
+
     def _track_append(self) -> None:
         if self.tracker is None:
             raise RuntimeError("no tracker configured")
@@ -201,12 +253,19 @@ class BATrack:
             ):
                 shift = self.n - self._last_append_n
             self.tracker.reuse_hint = shift
-        with self.timer.timed("build_input"):
+        sync_on = self.sync_stages
+        with self.timer.timed(
+            "build_input",
+            sync=(lambda: float(tin.queries[0, 0])) if sync_on else None,
+        ):
             tin = self._build_input(self.state, jnp.asarray(self.n, jnp.int32))
-        with self.timer.timed("tracker"):
+        with self.timer.timed(
+            "tracker",
+            sync=(lambda: float(tout.tracks[0, 0, 0])) if sync_on else None,
+        ):
             tout = self.tracker(tin)
         slot = self.append_count % self.dims.ring_slots
-        with self.timer.timed("gate_append"):
+        with self.timer.timed("gate_append", sync=self._state_sync()):
             self.state = self._gate_append(
                 self.state,
                 tin,
@@ -235,7 +294,7 @@ class BATrack:
             })
 
     def update(self) -> None:
-        with self.timer.timed("ba_update"):
+        with self.timer.timed("ba_update", sync=self._state_sync()):
             self.state = self._update_timed()
 
     def _update_timed(self):
@@ -253,10 +312,9 @@ class BATrack:
             return
         i = self.n - slam.KEYFRAME_INDEX - 1
         j = self.n - slam.KEYFRAME_INDEX + 1
-        mag = 0.5 * (
-            float(self._motionmag(self.state, jnp.asarray(i), jnp.asarray(k)))
-            + float(self._motionmag(self.state, jnp.asarray(j), jnp.asarray(k)))
-        )
+        mag = float(self._motionmag_pair(
+            self.state, jnp.asarray(i), jnp.asarray(j), jnp.asarray(k)
+        ))
         if mag < slam.KEYFRAME_THRESH:
             t0 = int(self.state.tstamps[k - 1])
             t1 = int(self.state.tstamps[k])

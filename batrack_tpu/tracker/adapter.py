@@ -30,7 +30,11 @@ class MDTrackerAdapter:
         dtype=None,
         backward_tracking: bool = False,
         static_threshold: float = 0.1,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh — shards the query/track axis
+        over the full mesh (per-track corr/flow/time-attention stay local;
+        GSPMD all-gathers only in space attention). None = single device."""
         import jax as _jax
 
         self.p = TrackerParams.from_config(model_cfg)
@@ -40,6 +44,11 @@ class MDTrackerAdapter:
         if model_cfg.use_pallas_corr and not on_tpu:
             # the fused kernel is TPU-only; fall back to the XLA path
             self.p = self.p._replace(use_pallas_corr=False)
+        self.mesh = mesh
+        if mesh is not None and self.p.use_flash_attention:
+            # the Pallas flash kernel is not shardable by GSPMD; the masked
+            # dense/chunked attention path shards cleanly
+            self.p = self.p._replace(use_flash_attention=False)
         self.model = MDTracker(self.p, dtype=dtype)
         self.backward_tracking = backward_tracking
         # static-branch output merge (batrack.py:556-566): use_static_mask
@@ -48,6 +57,16 @@ class MDTrackerAdapter:
         self.use_static_mask = model_cfg.use_static_mask
         self.use_static = model_cfg.use_static
         self.static_threshold = static_threshold
+        # backward-tracking pass: the merge consumes only traj/depth/vis/dyn,
+        # all of which come from the total branch, so the static-branch
+        # refinement (static_iters x updateformer_dyn) is dead compute there
+        # — unless the static merge is enabled, which reads istatic3d
+        if self.use_static_mask or self.use_static:
+            self.model_bwd = self.model
+        else:
+            self.model_bwd = MDTracker(
+                self.p._replace(static_iters=0), dtype=dtype
+            )
         self.params = params  # {'params': ...}; random-init lazily if None
         self._seed = seed
         self._apply = jax.jit(self._forward, static_argnames=("reuse",))
@@ -82,13 +101,30 @@ class MDTrackerAdapter:
             depth = static3d[..., 2]
         return traj, depth
 
+    def _shard_tracks(self, x, axis_pos):
+        """Sharding constraint on the track axis (no-op without a mesh)."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        names = tuple(self.mesh.axis_names)
+        axis = names if len(names) > 1 else names[0]
+        spec = [None] * x.ndim
+        spec[axis_pos] = axis
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, P(*spec))
+        )
+
     def _forward(self, params, window_rgbd, queries, prev_fmaps=None, reuse=0):
         ih, iw = self.p.interp_shape
         S, _, H, W = window_rgbd.shape
         window, q = self._prepare(window_rgbd, queries)
+        q = self._shard_tracks(q, 0)
         traj, depth, static3d, vis, dyn, fmaps = self.model.apply(
             params, window, q, prev_fmaps, reuse
         )
+        traj = self._shard_tracks(traj, 1)
+        depth = self._shard_tracks(depth, 1)
         traj, depth = self._static_merge(traj, depth, static3d, dyn)
 
         scale = jnp.asarray([W / iw, H / ih], jnp.float32)
@@ -96,11 +132,13 @@ class MDTrackerAdapter:
 
         if self.backward_tracking:
             # flip the window, flip query times, fill never-seen slots
-            # (_compute_backward_tracks, batrack.py:590-629)
+            # (_compute_backward_tracks, batrack.py:590-629). Per-frame
+            # features are direction-independent, so the backward pass reuses
+            # the forward window's fmaps reversed instead of re-encoding.
             inv_window = window[::-1]
             inv_q = q.at[:, 0].set(S - 1 - q[:, 0])
-            itraj, idepth, istatic3d, ivis, idyn, _ = self.model.apply(
-                params, inv_window, inv_q
+            itraj, idepth, istatic3d, ivis, idyn, _ = self.model_bwd.apply(
+                params, inv_window, inv_q, fmaps[::-1], self.p.S
             )
             itraj, idepth = self._static_merge(itraj, idepth, istatic3d, idyn)
             itraj = itraj[::-1]

@@ -409,7 +409,13 @@ class MDTracker(nn.Module):
             # (md_tracker.py:524-531), even when only part of it is encoded
             zwin = depths_dn[frame_ids]
             z_stats = (zwin.min(), zwin.max())
-            if fmaps is None and prev_fmaps is not None and reuse > 0:
+            if fmaps is None and prev_fmaps is not None and reuse >= S:
+                # fully cached window (e.g. the backward-tracking pass reuses
+                # the forward pass's per-frame features reversed — fnet and
+                # the xyz embedding are per-frame, so reversed frames have
+                # identical features and identical window z-stats)
+                fmaps = prev_fmaps
+            elif fmaps is None and prev_fmaps is not None and reuse > 0:
                 new_ids = frame_ids[S - reuse:]
                 fm_new = self.encode_window(rgbs[new_ids], depths_dn[new_ids],
                                             z_stats)

@@ -63,6 +63,14 @@ class SlamConfig:
     # 'flat' = general masked-edge solver
     BA_BACKEND: str = "slot"
 
+    # multi-chip execution (TPU-native; no reference equivalent):
+    # mesh_devices > 0 shards the backend (patch axis) and the tracker
+    # (query axis) over that many devices; distributed=True additionally
+    # calls jax.distributed.initialize and builds a ('host','chip') mesh
+    # across all processes (mesh_devices then means chips per host * hosts)
+    mesh_devices: int = 0
+    distributed: bool = False
+
     # BA solver constants (ba.py defaults / batrack.py:856-875)
     BA_EP: float = 10.0
     BA_LMBDA: float = 1e-4
@@ -117,7 +125,10 @@ class ModelConfig:
     # TPU fast paths (auto-disabled off-TPU by the adapter / backend gate)
     use_pallas_corr: bool = True
     use_flash_attention: bool = True
-    compute_dtype: str = "float32"  # "bfloat16" for fast inference
+    # bf16 matmuls/attention for tracker inference (the production default:
+    # VERDICT r1 #4; coords/outputs stay f32 at the module boundaries).
+    # Set "float32" for parity testing.
+    compute_dtype: str = "bfloat16"
 
 
 @dataclass
@@ -135,6 +146,10 @@ class DataConfig:
     savedir: str = ""
     traj_format: str = "davis"
     input_intrinsics: bool = False
+    # decode+crop frames in the native C++ prefetch loader (native/src/
+    # dataio.cpp) on background threads; falls back to the Python readers
+    # when the shared library is unavailable. davis/generic formats only.
+    native_prefetch: bool = False
 
 
 @dataclass

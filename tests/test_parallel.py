@@ -92,3 +92,78 @@ def test_dryrun_multichip():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_sharded_space_attention_block_parity(rng):
+    """Strict PRE-amplification parity: one UpdateFormer block under the
+    track sharding must match unsharded to float noise (1e-5), so a real
+    divergence cannot hide behind the iterative-refinement chaos budget
+    that the e2e tracker test (5e-2) must allow."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from batrack_tpu.tracker.blocks import UpdateFormer
+
+    model = UpdateFormer(space_depth=1, time_depth=1, input_dim=456,
+                         hidden_size=384, num_heads=8, output_dim=131)
+    x = jnp.asarray(rng.normal(size=(1, 16, 4, 456)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    ref = model.apply(params, x)
+
+    mesh = get_mesh(4, ("track",))
+
+    @jax.jit
+    def fwd(x):
+        x = jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(None, "track"))
+        )
+        return model.apply(params, x)
+
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fwd(x)), atol=1e-5)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_patch_sharded_slot_ba_matches_single(rng, n_dev):
+    """The production multi-chip BA layout: patch axis sharded, distributed
+    Schur (parallel/sharded_slot_ba.py) == single-device slot solver."""
+    import functools
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from batrack_tpu.ba.slot_solver import (
+        SlotGraph, slot_ba_iteration, slot_ba_iteration_fm,
+    )
+    from test_slot_ba import KW, M, N, build_case
+
+    poses, patches, monodisp, intr, graph, prob = build_case(rng)
+    p1, q1 = slot_ba_iteration(
+        poses, patches, monodisp, intr, graph,
+        prob.t0, prob.n, prob.base_k, kf_stride=2, **KW,
+    )
+
+    mesh = get_mesh(n_dev, ("patch",))
+    core = functools.partial(
+        slot_ba_iteration_fm, kf_stride=2, axis_name="patch",
+        shard_mode="patches", **KW,
+    )
+    g_spec = SlotGraph(targets=P(None, None, "patch"),
+                       weights=P(None, None, "patch"),
+                       valid=P(None, None, "patch"), slot_start=P())
+
+    def step(poses, p_fm, md_fm, intr, graph):
+        return core(poses, p_fm, md_fm, intr, graph,
+                    prob.t0, prob.n, prob.base_k // M)
+
+    p2, q2_fm = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(None, "patch"), P(None, "patch"), P(), g_spec),
+        out_specs=(P(), P(None, "patch")),
+    )(poses, patches.reshape(N, M, 3), monodisp.reshape(N, M), intr, graph)
+
+    # exact in f64 (9e-13, measured); in f32 the psum's partial-sum order
+    # differs from the single-device reduction and the Schur solve amplifies
+    # the reorder noise ~1e3x (same budget as test_slot_ba.py's flat-vs-slot)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(q1), np.asarray(q2_fm).reshape(-1, 3), atol=2e-3
+    )
