@@ -151,4 +151,5 @@ def sharded_slot_slam_update(
 
     from batrack_tpu.slam.update import update_point_cloud
 
-    return update_point_cloud(state, n, dims)
+    wf = min(dims.N, cfg.OPTIMIZATION_WINDOW + (dims.S_local + 1) // 2 + 1)
+    return update_point_cloud(state, n, dims, window_frames=wf)

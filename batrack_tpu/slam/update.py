@@ -114,27 +114,62 @@ def slam_update(
             e_weight_pose=state.e_weight_pose * keep,
         )
 
-    return update_point_cloud(state, n, dims)
+    wf = min(dims.N, cfg.OPTIMIZATION_WINDOW + (dims.S_local + 1) // 2 + 1)
+    return update_point_cloud(state, n, dims, window_frames=wf)
 
 
-def update_point_cloud(state: SLAMState, n: jnp.ndarray, dims: StaticDims) -> SLAMState:
+def update_point_cloud(
+    state: SLAMState,
+    n: jnp.ndarray,
+    dims: StaticDims,
+    window_frames: int | None = None,
+) -> SLAMState:
     """Static + dynamic world-point maintenance (batrack.py:821-854).
 
     Tracks with any positive local weight are treated as static: their world
     trajectory collapses to the BA point, and their local 2D+disp trajectory
     is overwritten by reprojecting that point into the neighbouring frames
     (this is what stage-3 refinement consumes).
+
+    window_frames: when set, only the rows of the last `window_frames`
+    frames are recomputed. A row can change only while its source frame (or
+    a neighbour within S_local/2) is inside the BA optimization window and
+    its weights can still be appended (the S_slam window), so
+    OPTIMIZATION_WINDOW + S_local//2 + 1 frames cover every mutable row —
+    rows leave the window already holding their final values. The per-frame
+    cost drops ~(N / window_frames)x (154 -> ~10 ms at BUFFER_SIZE=1024 on
+    the v5e); the full pass (None) remains for tests and terminate-time
+    verification.
     """
     NM = state.patches.shape[0]
     M, S_local, N = dims.M, dims.S_local, dims.N
     mid = (S_local + 1) // 2 - 1
 
-    rows = jnp.arange(NM)
+    if window_frames is None or window_frames >= N:
+        base = jnp.asarray(0, jnp.int32)
+        K = NM
+        patches = state.patches
+        local_targets = state.local_targets
+        local_weights = state.local_weights
+        row0 = jnp.asarray(0, jnp.int32)
+    else:
+        base = jnp.clip(n - window_frames, 0, N - window_frames)
+        K = window_frames * M
+        row0 = base * M
+        patches = jax.lax.dynamic_slice_in_dim(state.patches, row0, K, axis=0)
+        local_targets = jax.lax.dynamic_slice_in_dim(
+            state.local_targets, row0, K, axis=0
+        )
+        local_weights = jax.lax.dynamic_slice_in_dim(
+            state.local_weights, row0, K, axis=0
+        )
+
+    rows = row0 + jnp.arange(K)
     live = rows < n * M
 
     ix = rows // M
     # static world points of every patch (homogeneous -> xyz)
-    P = projective.point_cloud(state.poses, state.patches, state.intrinsics, ix)
+    P = projective.point_cloud(state.poses, patches, state.intrinsics, ix)
     static_xyz = P[:, :3] / jnp.where(jnp.abs(P[:, 3:]) > 1e-8, P[:, 3:], 1e-8)
 
     # dynamic world trajectories from the local target buffer
@@ -142,23 +177,39 @@ def update_point_cloud(state: SLAMState, n: jnp.ndarray, dims: StaticDims) -> SL
     flat_jj = jj_w.reshape(-1)
     dyn_P = projective.point_cloud(
         state.poses,
-        state.local_targets.reshape(-1, 3),
+        local_targets.reshape(-1, 3),
         state.intrinsics,
         flat_jj,
     )
     dyn_xyz = (dyn_P[:, :3] / jnp.where(jnp.abs(dyn_P[:, 3:]) > 1e-8, dyn_P[:, 3:], 1e-8)
-               ).reshape(NM, S_local, 3)
+               ).reshape(K, S_local, 3)
 
-    is_static = (state.local_weights.sum(axis=1) > 0)[:, None, None]
+    is_static = (local_weights.sum(axis=1) > 0)[:, None, None]
     trajs_world = jnp.where(is_static, static_xyz[:, None, :], dyn_xyz)
-    trajs_world = jnp.where(live[:, None, None], trajs_world, state.trajs_world)
 
     # reproject static points into neighbour frames -> overwrite local targets
     G = jnp.take(state.poses, flat_jj, axis=0)
     P_rep = jnp.repeat(P, S_local, axis=0)
     X1 = se3.act4(G, P_rep)
     trg = projective.proj(X1, jnp.take(state.intrinsics, flat_jj, axis=0), depth=True)
-    trg = trg.reshape(NM, S_local, 3)
-    local_targets = jnp.where(is_static & live[:, None, None], trg, state.local_targets)
+    trg = trg.reshape(K, S_local, 3)
+    new_targets = jnp.where(is_static & live[:, None, None], trg, local_targets)
 
-    return state._replace(trajs_world=trajs_world, local_targets=local_targets)
+    if window_frames is None or window_frames >= N:
+        trajs_world = jnp.where(
+            live[:, None, None], trajs_world, state.trajs_world
+        )
+        return state._replace(trajs_world=trajs_world, local_targets=new_targets)
+
+    trajs_world = jnp.where(
+        live[:, None, None], trajs_world,
+        jax.lax.dynamic_slice_in_dim(state.trajs_world, row0, K, axis=0),
+    )
+    return state._replace(
+        trajs_world=jax.lax.dynamic_update_slice_in_dim(
+            state.trajs_world, trajs_world, row0, axis=0
+        ),
+        local_targets=jax.lax.dynamic_update_slice_in_dim(
+            state.local_targets, new_targets, row0, axis=0
+        ),
+    )

@@ -297,3 +297,29 @@ class TestSiftPatchGen:
         assert kp.shape == (32, 2)
         assert (kp[:, 0] >= 4).all() and (kp[:, 0] <= WD - 4).all()
         assert (kp[:, 1] >= 4).all() and (kp[:, 1] <= HT - 4).all()
+
+
+def test_windowed_point_cloud_matches_full(scene):
+    """The windowed per-frame point-cloud pass equals the full-buffer pass:
+    rows leave the window already holding their final values."""
+    import functools
+
+    import jax
+
+    from batrack_tpu.slam.update import update_point_cloud
+
+    slam = run_slam(scene)
+    n = jnp.asarray(slam.n, jnp.int32)
+    full = update_point_cloud(slam.state, n, slam.dims, window_frames=None)
+    cfg = slam.cfg.slam
+    wf = min(slam.dims.N, cfg.OPTIMIZATION_WINDOW + (slam.dims.S_local + 1) // 2 + 1)
+    win = update_point_cloud(slam.state, n, slam.dims, window_frames=wf)
+    live = slam.n * slam.dims.M
+    np.testing.assert_allclose(
+        np.asarray(full.trajs_world[:live]), np.asarray(win.trajs_world[:live]),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(full.local_targets[:live]),
+        np.asarray(win.local_targets[:live]), atol=1e-5,
+    )
