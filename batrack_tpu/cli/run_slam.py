@@ -108,6 +108,7 @@ def main(argv=None) -> int:
         )
 
     slam = None
+    pending = None
     # raw frames are retained only when results.pkl needs them — at 900
     # frames of 480x640 the full float stack is ~10 GB of host RAM
     keep_frames = cfg.save_results
@@ -157,8 +158,20 @@ def main(argv=None) -> int:
                 static_threshold=cfg.slam.STATIC_THRESHOLD,
                 mesh=mesh,
             )
-        slam(t, image, depth, intrinsics)
+        # one-frame lookahead: frame t+1's host->device upload overlaps
+        # frame t's compute (the visualizer needs host images, so the
+        # pre-upload is skipped when save_video is on)
+        if cfg.save_video:
+            item = (t, image, depth, intrinsics)
+        else:
+            dev_img, dev_depth = BATrack.upload_frame(image, depth)
+            item = (t, dev_img, dev_depth, intrinsics)
+        if pending is not None:
+            slam(*pending)
+        pending = item
 
+    if pending is not None:
+        slam(*pending)
     total = time.time() - start
     logger.info("Total time: %.2f s | FPS: %.2f | s/frame: %.4f", total, nf / total, total / nf)
     logger.info("stage timings:\n%s", slam.timer.report())

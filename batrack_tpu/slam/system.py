@@ -81,15 +81,13 @@ class BATrack:
         # state (arg 0) is donated in every state->state stage: the caller
         # always replaces self.state with the output, and donation lets XLA
         # update the ~300 MB of ring buffers in place instead of copying
-        self._ingest = jax.jit(
-            functools.partial(
-                ingest_frame,
-                dims=dims,
-                patch_gen=slam.PATCH_GEN,
-                motion_damping=slam.MOTION_DAMPING,
-            ),
-            donate_argnums=(0,),
+        self._ingest_fn = functools.partial(
+            ingest_frame,
+            dims=dims,
+            patch_gen=slam.PATCH_GEN,
+            motion_damping=slam.MOTION_DAMPING,
         )
+        self._ingest = jax.jit(self._ingest_fn, donate_argnums=(0,))
         self._build_input = jax.jit(
             functools.partial(build_tracker_input, dims=dims)
         )
@@ -116,28 +114,34 @@ class BATrack:
                 sharded_slot_slam_update,
             )
 
-            self._update = jax.jit(
-                functools.partial(
-                    sharded_slot_slam_update, dims=dims, cfg=slam, mesh=mesh
-                ),
-                donate_argnums=(0,),
+            update_fn = functools.partial(
+                sharded_slot_slam_update, dims=dims, cfg=slam, mesh=mesh
             )
         elif mesh is not None:
             from batrack_tpu.parallel.sharded_ba import sharded_slam_update
             from batrack_tpu.parallel.sharded_slot_ba import full_axis
 
-            self._update = jax.jit(
-                functools.partial(
-                    sharded_slam_update, dims=dims, cfg=slam, mesh=mesh,
-                    axis=full_axis(mesh),
-                ),
-                donate_argnums=(0,),
+            update_fn = functools.partial(
+                sharded_slam_update, dims=dims, cfg=slam, mesh=mesh,
+                axis=full_axis(mesh),
             )
         else:
-            self._update = jax.jit(
-                functools.partial(slam_update, dims=dims, cfg=slam),
-                donate_argnums=(0,),
+            update_fn = functools.partial(slam_update, dims=dims, cfg=slam)
+        self._update = jax.jit(update_fn, donate_argnums=(0,))
+
+        # fused ingest+update: non-append steady-state frames are one
+        # dispatch instead of two (per-call latency is a first-order cost
+        # both through the tunnel and at production frame rates)
+        def _iu(state, image, depth, intr, n, counter, key, mark_valid,
+                coords_override):
+            state, _ = self._ingest_fn(
+                state, image, depth, intr, n, counter, key,
+                mark_valid=mark_valid, coords_override=coords_override,
             )
+            return update_fn(state, n + 1, jnp.asarray(True))
+
+        self._fused_ingest_update = jax.jit(_iu, donate_argnums=(0,))
+        self._fused_append = None  # built lazily (needs the tracker)
         if slam.use_keyframe:
             from batrack_tpu.slam.keyframe import (
                 motion_magnitude_pair,
@@ -169,17 +173,25 @@ class BATrack:
             )
 
         # ship images as uint8 (the ingest jit converts on device); host->
-        # device bandwidth is a first-order cost on tunneled TPUs
-        image_np = np.asarray(image)
-        if image_np.dtype != np.uint8:
-            image_np = np.clip(image_np, 0, 255).astype(np.uint8)
-        image = jnp.asarray(image_np)
-        depth = jnp.asarray(np.asarray(depth), jnp.float32)
+        # device bandwidth is a first-order cost on tunneled TPUs. Callers
+        # may pass already-uploaded jax arrays (see upload_frame) to overlap
+        # the transfer with the previous frame's compute.
+        if isinstance(image, jax.Array):
+            image_np = None
+        else:
+            image_np = np.asarray(image)
+            if image_np.dtype != np.uint8:
+                image_np = np.clip(image_np, 0, 255).astype(np.uint8)
+            image = jnp.asarray(image_np)
+        if not isinstance(depth, jax.Array):
+            depth = jnp.asarray(np.asarray(depth), jnp.float32)
         if depth.ndim == 3:
             depth = depth[..., 0]
         intrinsics = jnp.asarray(np.asarray(intrinsics), jnp.float32)
 
         if self.visualizer is not None:
+            if image_np is None:
+                image_np = np.asarray(image)
             self.visualizer.add_frame(image_np)
 
         self.key, sub = jax.random.split(self.key)
@@ -187,6 +199,8 @@ class BATrack:
         if self.cfg.slam.PATCH_GEN == "sift":
             from batrack_tpu.slam.ingest import generate_patches_sift
 
+            if image_np is None:
+                image_np = np.asarray(image)
             coords_override = jnp.asarray(
                 generate_patches_sift(
                     image_np, M=self.dims.M, ht=self.dims.ht, wd=self.dims.wd,
@@ -194,18 +208,32 @@ class BATrack:
                 )
             )
         mark_valid = (self.n % self.cfg.slam.kf_stride == 0) and not self.is_initialized
-        with self.timer.timed("ingest", sync=self._state_sync()):
-            self.state, _ = self._ingest_timed(
-            self.state,
-            image,
-            depth,
-            intrinsics,
+        will_append = self.n % self.cfg.slam.kf_stride == 0
+        ingest_args = (
+            image, depth, intrinsics,
             jnp.asarray(self.n, jnp.int32),
             jnp.asarray(self.counter, jnp.int32),
             sub,
-            mark_valid=jnp.asarray(mark_valid),
-            coords_override=coords_override,
         )
+        if self.is_initialized and not will_append:
+            # steady-state non-append frame: one fused dispatch
+            with self.timer.timed("ingest_update", sync=self._state_sync()):
+                self.state = self._fused_ingest_update(
+                    self.state, *ingest_args,
+                    mark_valid=jnp.asarray(mark_valid),
+                    coords_override=coords_override,
+                )
+            self.tlist.append(tstamp)
+            self.counter += 1
+            self.n += 1
+            return
+
+        with self.timer.timed("ingest", sync=self._state_sync()):
+            self.state, _ = self._ingest_timed(
+                self.state, *ingest_args,
+                mark_valid=jnp.asarray(mark_valid),
+                coords_override=coords_override,
+            )
 
         self.tlist.append(tstamp)
         self.counter += 1
@@ -230,6 +258,20 @@ class BATrack:
             # batrack.py:1020-1024
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def upload_frame(image, depth):
+        """Start the async host->device transfer of a frame.
+
+        Call one frame ahead of __call__ so the upload overlaps the current
+        frame's compute (device_put is asynchronous); pass the returned
+        arrays to __call__ in place of the numpy ones.
+        """
+        image_np = np.asarray(image)
+        if image_np.dtype != np.uint8:
+            image_np = np.clip(image_np, 0, 255).astype(np.uint8)
+        depth_np = np.asarray(depth, np.float32)
+        return jax.device_put(image_np), jax.device_put(depth_np)
+
     def _ingest_timed(self, *args, **kwargs):
         return self._ingest(*args, **kwargs)
 
@@ -239,40 +281,90 @@ class BATrack:
             return None
         return lambda: float(self.state.tstamps[0])
 
+    def _ensure_fused_append(self) -> bool:
+        """Build the single-dispatch append jit (input + forward + gate)."""
+        if self._fused_append is not None:
+            return True
+        ad = self.tracker
+        if not getattr(ad, "supports_fused_append", False):
+            return False  # oracle/custom trackers keep the 3-call path
+        dims, slam = self.dims, self.cfg.slam
+        build = functools.partial(build_tracker_input, dims=dims)
+        gate = functools.partial(
+            gate_and_append,
+            dims=dims,
+            vis_threshold=slam.VIS_THRESHOLD,
+            static_threshold=slam.STATIC_THRESHOLD,
+            static_quantile=slam.STATIC_QUANTILE,
+            min_track_len=slam.MIN_TRACK_LEN,
+            boundary_padding=slam.BOUNDARY_PADDING,
+        )
+
+        def fused(state, params, n, slot, prev_fmaps, reuse):
+            tin = build(state, n)
+            tout, fmaps = ad._forward(
+                params, tin.window_rgbd, tin.queries, prev_fmaps, reuse
+            )
+            return gate(state, tin, tout, n, slot), fmaps
+
+        self._fused_append = jax.jit(
+            fused, static_argnames=("reuse",), donate_argnums=(0,)
+        )
+        return True
+
     def _track_append(self) -> None:
         if self.tracker is None:
             raise RuntimeError("no tracker configured")
         # cross-append feature reuse: consecutive appends on a full window
         # share all but `shift` frames (encode only the new ones)
+        shift = None
+        if (
+            self._last_append_n is not None
+            and self._last_append_n >= self.dims.S_slam
+            and 0 < self.n - self._last_append_n < self.dims.S_slam
+        ):
+            shift = self.n - self._last_append_n
         if hasattr(self.tracker, "reuse_hint"):
-            shift = None
-            if (
-                self._last_append_n is not None
-                and self._last_append_n >= self.dims.S_slam
-                and 0 < self.n - self._last_append_n < self.dims.S_slam
-            ):
-                shift = self.n - self._last_append_n
             self.tracker.reuse_hint = shift
-        sync_on = self.sync_stages
-        with self.timer.timed(
-            "build_input",
-            sync=(lambda: float(tin.queries[0, 0])) if sync_on else None,
-        ):
-            tin = self._build_input(self.state, jnp.asarray(self.n, jnp.int32))
-        with self.timer.timed(
-            "tracker",
-            sync=(lambda: float(tout.tracks[0, 0, 0])) if sync_on else None,
-        ):
-            tout = self.tracker(tin)
         slot = self.append_count % self.dims.ring_slots
-        with self.timer.timed("gate_append", sync=self._state_sync()):
-            self.state = self._gate_append(
-                self.state,
-                tin,
-                tout,
-                jnp.asarray(self.n, jnp.int32),
-                jnp.asarray(slot, jnp.int32),
-            )
+        sync_on = self.sync_stages
+        if self._ensure_fused_append():
+            ad = self.tracker
+            if ad.params is None:
+                ad.init_params(
+                    self._build_input(self.state, jnp.asarray(self.n, jnp.int32))
+                )
+            reuse = shift or 0
+            prev = ad._fmap_cache if reuse else None
+            if prev is None:
+                reuse = 0
+            with self.timer.timed("append", sync=self._state_sync()):
+                self.state, fmaps = self._fused_append(
+                    self.state, ad.params,
+                    jnp.asarray(self.n, jnp.int32),
+                    jnp.asarray(slot, jnp.int32),
+                    prev, reuse=reuse,
+                )
+            ad._fmap_cache = fmaps
+        else:
+            with self.timer.timed(
+                "build_input",
+                sync=(lambda: float(tin.queries[0, 0])) if sync_on else None,
+            ):
+                tin = self._build_input(self.state, jnp.asarray(self.n, jnp.int32))
+            with self.timer.timed(
+                "tracker",
+                sync=(lambda: float(tout.tracks[0, 0, 0])) if sync_on else None,
+            ):
+                tout = self.tracker(tin)
+            with self.timer.timed("gate_append", sync=self._state_sync()):
+                self.state = self._gate_append(
+                    self.state,
+                    tin,
+                    tout,
+                    jnp.asarray(self.n, jnp.int32),
+                    jnp.asarray(slot, jnp.int32),
+                )
         self.append_count += 1
         self._last_append_n = self.n
         if self.visualizer is not None:

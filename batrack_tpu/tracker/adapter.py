@@ -22,6 +22,10 @@ from batrack_tpu.utils.config import ModelConfig
 class MDTrackerAdapter:
     """Jit-compiled tracker callable for the SLAM system."""
 
+    # the SLAM system may trace self._forward inside its single-dispatch
+    # append jit (build input + forward + gate) instead of calling __call__
+    supports_fused_append = True
+
     def __init__(
         self,
         model_cfg: ModelConfig,

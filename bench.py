@@ -103,14 +103,21 @@ def main() -> int:
     )
 
     # ---- phase 1: e2e FPS, fully async (compile + init excluded) ----------
+    # uploads are double-buffered: frame t+1 transfers while t computes
+    nxt = slam.upload_frame(images[0], depths[0])
     for t in range(WARMUP_FRAMES):
-        slam(t, images[t], depths[t], INTR)
+        cur = nxt
+        nxt = slam.upload_frame(images[t + 1], depths[t + 1])
+        slam(t, cur[0], cur[1], INTR)
     jax.block_until_ready(slam.state.poses)
     float(slam.state.poses[0, 0])  # force full pipeline flush
 
     t0 = time.time()
     for t in range(WARMUP_FRAMES, T):
-        slam(t, images[t], depths[t], INTR)
+        cur = nxt
+        if t + 1 < T:
+            nxt = slam.upload_frame(images[t + 1], depths[t + 1])
+        slam(t, cur[0], cur[1], INTR)
     float(slam.state.poses[slam.n - 1, 0])  # flush async dispatch
     elapsed = time.time() - t0
     fps = (T - WARMUP_FRAMES) / elapsed

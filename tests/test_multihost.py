@@ -1,0 +1,124 @@
+"""REAL multi-process validation of the multi-host layer.
+
+Spawns two OS processes (2 'hosts' x 4 virtual CPU chips each), runs
+jax.distributed.initialize + get_host_chip_mesh, and executes the
+patch-sharded slot BA step over the ('host','chip') mesh with genuine
+cross-process collectives (the psum crosses the process boundary exactly
+where DCN would sit on a real pod). The replicated pose output must match
+a single-process reference.
+
+This is the CPU-testable analogue SURVEY.md §4e prescribes for multi-node
+logic; it exercises init_distributed, the (host, chip) device grid, tuple
+-axis PartitionSpecs and the distributed-Schur psum path end to end.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import os, sys
+import numpy as np
+
+import jax
+
+port, pid = sys.argv[1], int(sys.argv[2])
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
+)
+assert jax.process_count() == 2, jax.process_count()
+import functools
+
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+sys.path.insert(0, os.environ["BATRACK_REPO"])
+sys.path.insert(0, os.path.join(os.environ["BATRACK_REPO"], "tests"))
+from batrack_tpu.ba.slot_solver import SlotGraph, slot_ba_iteration, slot_ba_iteration_fm
+from batrack_tpu.parallel.mesh import get_host_chip_mesh
+from test_slot_ba import KW, M, N, build_case
+
+mesh = get_host_chip_mesh()
+assert mesh.devices.shape == (2, 4), mesh.devices.shape
+
+rng = np.random.default_rng(0)
+poses, patches, monodisp, intr, graph, prob = build_case(rng)
+
+# single-process reference (local devices only)
+p_ref, q_ref = slot_ba_iteration(
+    poses, patches, monodisp, intr, graph,
+    prob.t0, prob.n, prob.base_k, kf_stride=2, **KW,
+)
+
+axis = ("host", "chip")
+core = functools.partial(
+    slot_ba_iteration_fm, kf_stride=2, axis_name=axis,
+    shard_mode="patches", **KW,
+)
+g_spec = SlotGraph(targets=P(None, None, axis), weights=P(None, None, axis),
+                   valid=P(None, None, axis), slot_start=P())
+in_specs = (P(), P(None, axis), P(None, axis), P(), g_spec)
+
+def to_global(x, spec):
+    sh = NamedSharding(mesh, spec)
+    xa = np.asarray(x)
+    return jax.make_array_from_callback(xa.shape, sh, lambda idx: xa[idx])
+
+args = (np.asarray(poses), np.asarray(patches).reshape(N, M, 3),
+        np.asarray(monodisp).reshape(N, M), np.asarray(intr), graph)
+gargs = jax.tree.map(to_global, args, in_specs,
+                     is_leaf=lambda x: isinstance(x, np.ndarray))
+
+def step(poses, p_fm, md_fm, intr, graph):
+    return core(poses, p_fm, md_fm, intr, graph,
+                prob.t0, prob.n, prob.base_k // M)
+
+fn = jax.jit(shard_map(step, mesh=mesh, in_specs=in_specs,
+                       out_specs=(P(), P(None, axis))))
+p2, q2 = fn(*gargs)
+# pose output is replicated -> addressable everywhere
+p2 = np.asarray(jax.device_get(p2))
+d = np.abs(p2 - np.asarray(p_ref)).max()
+assert d < 1e-3, f"pose divergence across processes: {d}"
+print(f"proc {pid}: multihost slot BA ok, |dpose| = {d:.2e}", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_host_chip_mesh(tmp_path):
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "PALLAS_AXON_POOL_IPS": "",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "BATRACK_REPO": REPO,
+        "PYTHONPATH": REPO,
+    })
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(port), str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out.decode())
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+        assert "multihost slot BA ok" in out
