@@ -323,3 +323,34 @@ def test_windowed_point_cloud_matches_full(scene):
         np.asarray(full.local_targets[:live]),
         np.asarray(win.local_targets[:live]), atol=1e-5,
     )
+
+
+def test_fused_append_matches_legacy_path(scene):
+    """BATrack with an MDTrackerAdapter must produce the same trajectory
+    through the single-dispatch fused append jit as through the legacy
+    build_input -> tracker -> gate_append 3-call path."""
+    from batrack_tpu.tracker.adapter import MDTrackerAdapter
+    from batrack_tpu.utils.config import ModelConfig
+
+    poses_gt, depths, images = scene
+    T = 12
+
+    def drive(force_legacy):
+        cfg = small_config()
+        slam = BATrack(cfg, HT, WD, seed=0)
+        mc = ModelConfig(
+            S=4, sliding_window_len=4, I=1, static_iters=1,
+            space_depth=1, time_depth=1, space_depth_dyn=1, time_depth_dyn=1,
+            interp_shape=(HT, WD), compute_dtype="float32",
+        )
+        ad = MDTrackerAdapter(mc, seed=0)
+        if force_legacy:
+            ad.supports_fused_append = False
+        slam.tracker = ad
+        for t in range(T):
+            slam(t, images[t], depths[t], INTR)
+        return slam.terminate()[0]
+
+    fused = drive(False)
+    legacy = drive(True)
+    np.testing.assert_allclose(fused, legacy, atol=1e-5)
