@@ -296,12 +296,15 @@ class MDTracker(nn.Module):
 
         coord_pred = None
         depth_pred = None
+        coord_preds, depth_preds, static_preds = [], [], []
         for _ in range(p.iters):
             coords = jax.lax.stop_gradient(coords)
             d_coords, d_feats = one_iter(coords, ffeats, pos_embed, self.updateformer)
             ffeats = feat_update(ffeats, d_feats)
             coords = coords + d_coords
             coord_pred, depth_pred = denorm(coords)
+            coord_preds.append(coord_pred)
+            depth_preds.append(depth_pred)
 
         vis_e = self.vis_predictor(ffeats)[..., 0]  # (S, N) logits
 
@@ -323,12 +326,18 @@ class MDTracker(nn.Module):
             out = coords_total - coords_dyn * dyn_mask[None, :, None]
             out_xy, out_d = denorm(out)
             static_out = jnp.concatenate([out_xy, out_d[..., None]], axis=-1)
+            static_preds.append(static_out)
 
         if static_out is None:
             out_xy, out_d = denorm(coords_total)
             static_out = jnp.concatenate([out_xy, out_d[..., None]], axis=-1)
 
-        return coord_pred, depth_pred, static_out, vis_e, dyn_logit, coords, coords_dyn
+        # per-iteration predictions (the reference's coord_predictions /
+        # coord_static_predictions lists, md_tracker.py:244-413) for the
+        # training losses; zero-cost when unused (XLA DCEs the stacks)
+        iter_preds = (coord_preds, depth_preds, static_preds)
+        return (coord_pred, depth_pred, static_out, vis_e, dyn_logit, coords,
+                coords_dyn, iter_preds)
 
     # ------------------------------------------------------------------
     def __call__(
@@ -337,6 +346,7 @@ class MDTracker(nn.Module):
         queries: jnp.ndarray,  # (N, 4) [t, x, y, depth] in pixels
         prev_fmaps: jnp.ndarray | None = None,
         reuse: int = 0,
+        train: bool = False,
     ):
         """Full sliding-window forward (md_tracker.py:416-671).
 
@@ -348,6 +358,11 @@ class MDTracker(nn.Module):
         Returns (traj_e (T, N, 2), depth_e (T, N), traj_static (T, N, 3),
         vis_e (T, N) sigmoid, dynamic_e (T, N) sigmoid, fmaps of the last
         window).
+
+        train=True appends a train_data dict — the static-shape equivalent
+        of the reference's is_train outputs (md_tracker.py:646-667): per-
+        window, per-GN-iteration predictions stacked over a static window
+        count with an activity mask, for supervision losses.
         """
         p = self.p
         T, _, H, W = rgbds.shape
@@ -402,6 +417,7 @@ class MDTracker(nn.Module):
         prev_active = jnp.zeros((N,), bool)
         fmaps = None
 
+        train_windows = []
         for w in range(n_wind):
             ind = w * (S // 2)
             frame_ids = np.clip(ind + np.arange(S), 0, T - 1)  # repeat last (pad)
@@ -466,11 +482,24 @@ class MDTracker(nn.Module):
             # equivalent. Single-window runs have every query active.
             key_mask = active if n_wind > 1 else None
 
-            (coord_p, depth_p, static_p, vis_p, dyn_logit, coords_fin, coords_dyn_fin
-             ) = self.forward_iteration(
+            (coord_p, depth_p, static_p, vis_p, dyn_logit, coords_fin, coords_dyn_fin,
+             iter_preds) = self.forward_iteration(
                 fmaps, coords_init, coords_dyn_init, feat_init, vis_init,
                 concat, d_near, d_far, Dz, key_mask,
             )
+            if train:
+                cps, dps, sps = iter_preds
+                train_windows.append({
+                    "ind": ind,
+                    "active": active,
+                    "track_mask": track_mask,           # (S, N)
+                    "coords": jnp.stack(cps),           # (I, S, N, 2)
+                    "depths": jnp.stack(dps),           # (I, S, N)
+                    "statics": (jnp.stack(sps) if sps
+                                else jnp.zeros((0, S, N, 3))),
+                    "vis_logits": vis_p,                # (S, N)
+                    "dyn_logits": dyn_logit,            # (N,)
+                })
 
             # scatter window results into the global timeline for active queries
             S_live = min(S, T - ind)
@@ -528,7 +557,7 @@ class MDTracker(nn.Module):
 
             prev_active = active
 
-        return (
+        outputs = (
             traj_e,
             depth_e,
             static_e,
@@ -536,3 +565,16 @@ class MDTracker(nn.Module):
             jax.nn.sigmoid(dyn_e),
             fmaps,
         )
+        if not train:
+            return outputs
+        train_data = {
+            "inds": np.asarray([tw["ind"] for tw in train_windows]),
+            "active": jnp.stack([tw["active"] for tw in train_windows]),
+            "track_mask": jnp.stack([tw["track_mask"] for tw in train_windows]),
+            "coords": jnp.stack([tw["coords"] for tw in train_windows]),
+            "depths": jnp.stack([tw["depths"] for tw in train_windows]),
+            "statics": jnp.stack([tw["statics"] for tw in train_windows]),
+            "vis_logits": jnp.stack([tw["vis_logits"] for tw in train_windows]),
+            "dyn_logits": jnp.stack([tw["dyn_logits"] for tw in train_windows]),
+        }
+        return outputs + (train_data,)
