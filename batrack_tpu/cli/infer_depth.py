@@ -23,6 +23,8 @@ def main(argv=None) -> int:
     parser.add_argument("--encoder", default="vitl", choices=["vits", "vitb", "vitl"])
     parser.add_argument("--input_size", type=int, default=518)
     args = parser.parse_args(argv)
+    from batrack_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     import jax
 

@@ -41,6 +41,8 @@ def main(argv=None) -> int:
                         help="optional .npy (3,3) gt intrinsics")
     parser.add_argument("--resolution_level", type=int, default=None)
     args = parser.parse_args(argv)
+    from batrack_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     import cv2
     import jax

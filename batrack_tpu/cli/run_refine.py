@@ -41,6 +41,9 @@ def main(argv=None) -> int:
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
 
+    from batrack_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     from batrack_tpu.utils.config import RefineConfig
 
     cfg = RefineConfig(

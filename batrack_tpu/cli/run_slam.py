@@ -83,8 +83,10 @@ def main(argv=None) -> int:
     parser.add_argument("overrides", nargs="*", help="key=value overrides")
     args = parser.parse_args(argv)
 
+    from batrack_tpu.utils.compile_cache import enable_compile_cache
     from batrack_tpu.utils.config import load_config
 
+    enable_compile_cache()
     cfg = load_config(args.config, args.overrides)
 
     from batrack_tpu.slam import BATrack
@@ -167,11 +169,24 @@ def main(argv=None) -> int:
             dev_img, dev_depth = BATrack.upload_frame(image, depth)
             item = (t, dev_img, dev_depth, intrinsics)
         if pending is not None:
+            if cfg.profile_dir and nf == 21:
+                import jax
+
+                jax.profiler.start_trace(cfg.profile_dir)
+                logger.info("profiler trace -> %s (frames 21-30)", cfg.profile_dir)
             slam(*pending)
+            if cfg.profile_dir and nf == 31:
+                import jax
+
+                jax.profiler.stop_trace()
         pending = item
 
     if pending is not None:
         slam(*pending)
+    if cfg.profile_dir and 21 <= nf < 31:
+        import jax
+
+        jax.profiler.stop_trace()
     total = time.time() - start
     logger.info("Total time: %.2f s | FPS: %.2f | s/frame: %.4f", total, nf / total, total / nf)
     logger.info("stage timings:\n%s", slam.timer.report())

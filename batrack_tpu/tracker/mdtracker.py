@@ -39,7 +39,6 @@ from batrack_tpu.ops.embeddings import (
 from batrack_tpu.ops.sampling import (
     bilinear_sample2d,
     bilinear_sample_per_frame,
-    interpolate_bilinear,
 )
 from batrack_tpu.tracker.blocks import (
     BasicEncoder,

@@ -196,6 +196,9 @@ class Config:
     save_plot: bool = True
     save_results: bool = True
     viz: bool = False
+    # write a jax.profiler device trace of steady-state frames 21-30 to this
+    # directory (view with TensorBoard's profile plugin); empty = off
+    profile_dir: str = ""
 
 
 def _merge(dc, data: dict):

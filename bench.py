@@ -77,6 +77,9 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from batrack_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     from batrack_tpu.geometry import se3
     from batrack_tpu.slam import BATrack
     from batrack_tpu.tracker import MDTrackerAdapter
