@@ -41,7 +41,16 @@ def _corr_kernel(coords_ref, targets_ref, fmap_ref, out_ref, *, radius,
     d = 2 * radius + 1          # blended outputs per axis
     SLAB = ((D + 7) // 8 + 1) * 8  # aligned horizontal slab (covers D + shift)
     C = fmap_ref.shape[-1]
+    S = targets_ref.shape[1]
     inv = np.float32(1.0 / np.sqrt(np.float32(C)))
+
+    # targets are track-major (N, S, C) — the transformer layout, which the
+    # output BlockSpec also emits so the tracker never pays an HBM relayout.
+    # The per-frame feature row is picked by a one-hot sublane reduction
+    # (a dynamic sublane index would need 8-alignment; s is 0..S-1).
+    s_onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1) == pl.program_id(0)
+    ).astype(jnp.float32)
 
     # fmap is pre-padded by PAD = 2r+2 ZERO rows/cols (grid_sample
     # padding_mode='zeros', the CorrBlock.sample semantics); clamping the
@@ -60,7 +69,8 @@ def _corr_kernel(coords_ref, targets_ref, fmap_ref, out_ref, *, radius,
 
     def body(g, _):
         base = pl.multiple_of(g * GROUP, GROUP)
-        tg = targets_ref[0, pl.ds(base, GROUP), :]  # (GROUP, C) aligned
+        tg_full = targets_ref[pl.ds(base, GROUP), :, :]  # (GROUP, S, C)
+        tg = jnp.sum(tg_full.astype(jnp.float32) * s_onehot, axis=1)  # (GROUP, C)
 
         rows = []
         for k in range(GROUP):
@@ -96,7 +106,7 @@ def _corr_kernel(coords_ref, targets_ref, fmap_ref, out_ref, *, radius,
             # and flatten outside the kernel
             rows.append(jnp.pad(out, ((0, 0), (0, out_dim - d)))[None])
 
-        out_ref[0, pl.ds(base, GROUP), :, :] = jnp.concatenate(rows, axis=0)
+        out_ref[pl.ds(base, GROUP), 0, :, :] = jnp.concatenate(rows, axis=0)
         return 0
 
     jax.lax.fori_loop(0, block_n // GROUP, body, 0)
@@ -104,20 +114,24 @@ def _corr_kernel(coords_ref, targets_ref, fmap_ref, out_ref, *, radius,
 
 def corr_sample_level_pallas(
     fmaps: jnp.ndarray,    # (S, C, H, W)
-    targets: jnp.ndarray,  # (S, N, C)
+    targets: jnp.ndarray,  # (N, S, C) — track-major (transformer layout)
     coords: jnp.ndarray,   # (S, N, 2) at this level's resolution
     radius: int,
     block_n: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused correlation sampling for one pyramid level: (S, N, (2r+1)^2).
+    """Fused correlation sampling for one pyramid level: (N, S, (2r+1)^2).
 
     Numerically matches ops.corr.corr_sample_level (zero-padded bilinear
     window times feature, reference-transposed flatten, scaled by 1/sqrt(C))
-    with the feature map read in bf16 (f32 accumulation).
+    with the feature map read in bf16 (f32 accumulation). Targets and
+    output are track-major (N, S, ...): the consumer (the tracker's
+    transformer input concat) is track-major, and emitting that layout from
+    the kernel's output BlockSpec is free, whereas an XLA moveaxis of the
+    (S, N, LRR) tensor costs an HBM relayout pass per iteration.
     """
     S, C, H, W = fmaps.shape
-    N = targets.shape[1]
+    N = targets.shape[0]
     d = 2 * radius + 1
     out_dim = 128  # lane-padded row width per output window row
 
@@ -135,7 +149,7 @@ def corr_sample_level_pallas(
 
     n_pad = (-N) % block_n
     coords_p = jnp.pad(coords, ((0, 0), (0, n_pad), (0, 0))) if n_pad else coords
-    targets_p = jnp.pad(targets, ((0, 0), (0, n_pad), (0, 0))) if n_pad else targets
+    targets_p = jnp.pad(targets, ((0, n_pad), (0, 0), (0, 0))) if n_pad else targets
     Np = N + n_pad
 
     grid = (S, Np // block_n)
@@ -151,7 +165,7 @@ def corr_sample_level_pallas(
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, block_n, C), lambda s, nb: (s, nb, 0),
+                (block_n, targets.shape[1], C), lambda s, nb: (nb, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -160,26 +174,26 @@ def corr_sample_level_pallas(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_n, d, out_dim), lambda s, nb: (s, nb, 0, 0),
+            (block_n, 1, d, out_dim), lambda s, nb: (nb, s, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((S, Np, d, out_dim), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Np, S, d, out_dim), jnp.float32),
         interpret=interpret,
     )(coords_p, targets_p, fm)
 
     # kernel windows are [y-offset, x-offset]; the reference layout is the
     # transpose (see ops/corr.py corr_sample_level) — swap before flattening
-    return jnp.swapaxes(out[:, :N, :, :d], -1, -2).reshape(S, N, d * d)
+    return jnp.swapaxes(out[:N, :, :, :d], -1, -2).reshape(N, S, d * d)
 
 
 def corr_sample_pyramid_pallas(
     pyramid: Sequence[jnp.ndarray],  # [(S, C, H_l, W_l)]
-    targets: jnp.ndarray,            # (S, N, C)
+    targets: jnp.ndarray,            # (N, S, C) — track-major
     coords: jnp.ndarray,             # (S, N, 2) at level-0 resolution
     radius: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Drop-in replacement for ops.corr.corr_sample_pyramid."""
+    """ops.corr.corr_sample_pyramid in the track-major (N, S, LRR) layout."""
     outs = [
         corr_sample_level_pallas(
             fm, targets, coords / (2.0 ** lvl), radius, interpret=interpret

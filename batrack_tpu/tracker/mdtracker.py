@@ -233,8 +233,12 @@ class MDTracker(nn.Module):
 
         coords = coords_init
         coords_dyn = coords_dyn_init
-        ffeats = feat_init
-        ffeats_static = feat_init
+        # track features live in track-major (N, S, C) — the transformer's
+        # layout — so the hot loop never pays the (S, N, C) <-> (N, S, C)
+        # HBM relayout per iteration; only this one entry transpose
+        feat_init_ns = jnp.moveaxis(feat_init, 0, 1)
+        ffeats = feat_init_ns
+        ffeats_static = feat_init_ns
 
         # positional embeddings (md_tracker.py:223-243)
         pos_grid = get_2d_sincos_pos_embed(p.input_dim, (h4, w4)).reshape(
@@ -261,22 +265,27 @@ class MDTracker(nn.Module):
             out_d = self.depth_process_inv(c[..., 2] / Dz * (d_far - d_near) + d_near)
             return out_xy, out_d
 
-        corr_fn = (corr_sample_pyramid_pallas if p.use_pallas_corr
-                   else corr_sample_pyramid)
+        if p.use_pallas_corr:
+            def corr_nsc(ffeats_ns, cxy):
+                return corr_sample_pyramid_pallas(
+                    pyramid, ffeats_ns, cxy, p.corr_radius
+                )  # (N, S, LRR) directly from the kernel's output BlockSpec
+        else:
+            def corr_nsc(ffeats_ns, cxy):
+                fc = corr_sample_pyramid(
+                    pyramid, jnp.moveaxis(ffeats_ns, 0, 1), cxy, p.corr_radius
+                )  # (S, N, LRR) — XLA fallback (CPU/tests)
+                return jnp.moveaxis(fc, 0, 1)
 
-        def one_iter(coords, ffeats, pe, transformer):
-            fcorrs = corr_fn(
-                pyramid, ffeats, coords[..., :2], p.corr_radius
-            )  # (S, N, LRR)
+        def one_iter(coords, ffeats_ns, pe, transformer):
+            # ffeats_ns: (N, S, C) track-major
+            fcorrs_nsc = corr_nsc(ffeats_ns, coords[..., :2])       # (N, S, LRR)
             flows = coords - coords[0:1]
             flows_nsc = jnp.moveaxis(flows, 0, 1)                   # (N, S, 3)
             flows_cat = get_3d_embedding(flows_nsc, 64, cat_coords=True)
             flows_cat = self.zeroMLPflow(flows_cat)                 # (N, S, 130)
 
-            fcorrs_nsc = jnp.moveaxis(fcorrs, 0, 1)                 # (N, S, LRR)
-            ffeats_nsc = jnp.moveaxis(ffeats, 0, 1)                 # (N, S, C)
-
-            x = jnp.concatenate([flows_cat, fcorrs_nsc, ffeats_nsc, concat], axis=-1)
+            x = jnp.concatenate([flows_cat, fcorrs_nsc, ffeats_ns, concat], axis=-1)
             x = x + pe[:, None, :] + times_embed[None, :, :]
             delta = transformer(x[None], key_mask)[0]               # (N, S, C+3)
             d_coords = jnp.moveaxis(delta[..., :3], 0, 1)           # (S, N, 3)
@@ -287,11 +296,11 @@ class MDTracker(nn.Module):
         # (md_tracker.py:134-137). The GroupNorm(1, C) runs on flattened
         # (B*N*S, C) rows in the reference (md_tracker.py:306-309) — flax
         # GroupNorm on (N, S, C) would reduce over S too, so flatten first.
-        def feat_update(ffeats, d_feats_nsc):
+        def feat_update(ffeats_ns, d_feats_nsc):
             N_, S_, C_ = d_feats_nsc.shape
             normed = self.norm(d_feats_nsc.reshape(-1, C_)).reshape(N_, S_, C_)
             upd = jax.nn.gelu(self.ffeat_updater(normed), approximate=False)
-            return jnp.moveaxis(upd, 0, 1) + ffeats  # back to (S, N, C)
+            return upd + ffeats_ns  # stays (N, S, C)
 
         coord_pred = None
         depth_pred = None
@@ -305,7 +314,7 @@ class MDTracker(nn.Module):
             coord_preds.append(coord_pred)
             depth_preds.append(depth_pred)
 
-        vis_e = self.vis_predictor(ffeats)[..., 0]  # (S, N) logits
+        vis_e = self.vis_predictor(ffeats)[..., 0].T  # (S, N) logits
 
         dyn_logit = self.motion_label(ffeats[None])[0, :, 0]  # (N,)
         dyn_mask = jax.nn.sigmoid(dyn_logit)

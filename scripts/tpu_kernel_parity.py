@@ -35,7 +35,9 @@ def main():
                   rng.uniform(-8, H + 8, (S, N))], -1), jnp.float32)
     pyr = build_pyramid(fmaps, 4)
     a = jax.jit(lambda: corr_sample_pyramid(pyr, targets, coords, 3))()
-    b = jax.jit(lambda: corr_sample_pyramid_pallas(pyr, targets, coords, 3))()
+    b = jax.jit(lambda: corr_sample_pyramid_pallas(
+        pyr, jnp.moveaxis(targets, 0, 1), coords, 3))()
+    b = jnp.moveaxis(b, 0, 1)
     err = float(jnp.abs(a - b).max())
     scale = float(jnp.abs(a).max())
     print(f"pallas corr vs XLA: abs {err:.4f}, rel {err / scale:.2e} "

@@ -156,6 +156,10 @@ def test_pallas_corr_matches_xla(rng):
         ).astype(np.float32)
     )
     pyr = build_pyramid(fmaps, 3)
-    ref = corr_sample_pyramid(pyr, targets, coords, 3)
-    out = corr_sample_pyramid_pallas(pyr, targets, coords, 3, interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+    ref = corr_sample_pyramid(pyr, targets, coords, 3)  # (S, N, LRR)
+    out = corr_sample_pyramid_pallas(
+        pyr, jnp.moveaxis(targets, 0, 1), coords, 3, interpret=True
+    )  # track-major (N, S, LRR)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(out), 0, 1), np.asarray(ref), atol=2e-2
+    )
