@@ -18,6 +18,13 @@ Mosaic constraints shape the implementation:
     8 tracks (statically unrolled within the group);
   * per-track coordinates are scalars and live in SMEM where dynamic
     indexing is unrestricted.
+
+The per-track serial loop dominates the kernel's cost, and it is the same
+loop at every pyramid level (the window size is level-independent), so the
+small levels are FUSED into one kernel: one track loop computes all their
+windows, amortising the scalar address math, the target load, and the loop
+control across levels. Level 0's feature map is too large to co-reside with
+double buffering, so it runs as its own call.
 """
 
 from __future__ import annotations
@@ -33,14 +40,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 GROUP = 8
 
+# fused-group VMEM budget for the padded bf16 feature maps (double-buffered
+# by Mosaic alongside the targets block and the per-level output blocks)
+_FUSE_BUDGET_BYTES = 4 * 1024 * 1024
 
-def _corr_kernel(coords_ref, targets_ref, fmap_ref, out_ref, *, radius,
-                 block_n, out_dim, Hp, Wp):
-    """One (frame, track-block) program."""
+
+def _corr_kernel_multi(coords_ref, targets_ref, *refs, radius, block_n,
+                       out_dim, dims, scales):
+    """One (frame, track-block) program over `len(dims)` pyramid levels.
+
+    refs = fmap_ref per level, then out_ref per level. coords are at the
+    first level's resolution; level l samples at coords * scales[l].
+    """
+    L = len(dims)
+    fmap_refs = refs[:L]
+    out_refs = refs[L:]
     D = 2 * radius + 2          # integer taps per axis
     d = 2 * radius + 1          # blended outputs per axis
     SLAB = ((D + 7) // 8 + 1) * 8  # aligned horizontal slab (covers D + shift)
-    C = fmap_ref.shape[-1]
+    C = fmap_refs[0].shape[-1]
     S = targets_ref.shape[1]
     inv = np.float32(1.0 / np.sqrt(np.float32(C)))
 
@@ -67,49 +85,158 @@ def _corr_kernel(coords_ref, targets_ref, fmap_ref, out_ref, *, radius,
     col_p = jax.lax.broadcasted_iota(jnp.int32, (SLAB, d), 0)
     col_q = jax.lax.broadcasted_iota(jnp.int32, (SLAB, d), 1)
 
+    def window(fmap_ref, tg_k, cx, cy, Hp, Wp):
+        x0 = jnp.floor(cx)
+        y0 = jnp.floor(cy)
+        dx = jnp.where(x0 < -(radius + 1), 0.0, cx - x0)
+        dy = jnp.where(y0 < -(radius + 1), 0.0, cy - y0)
+        xc = jnp.clip(x0.astype(jnp.int32), -(radius + 1), Wp + radius)
+        yc = jnp.clip(y0.astype(jnp.int32), -(radius + 1), Hp + radius)
+        xi = xc + (PAD - radius)   # padded col of tap (x0 - r)
+        yi = yc + (PAD - radius)
+        xa = pl.multiple_of((xi // 8) * 8, 8)
+        off = xi - xa              # in [0, 8)
+
+        win = fmap_ref[0, pl.ds(yi, D), pl.ds(xa, SLAB), :]  # (D, SLAB, C)
+        corr = jnp.sum(
+            win.astype(jnp.float32) * tg_k[None, None, :],
+            axis=-1,
+        ) * inv                                              # (D, SLAB)
+
+        # horizontal: select cols off..off+d and blend with dx in one
+        # matmul  (SLAB, d): S[p, q] = (1-dx)[p==q+off] + dx[p==q+off+1]
+        sel = ((col_p == col_q + off).astype(jnp.float32) * (1.0 - dx)
+               + (col_p == col_q + off + 1).astype(jnp.float32) * dx)
+        cx_blend = jnp.dot(corr, sel, preferred_element_type=jnp.float32)
+        # vertical: (d, D) banded blend with dy
+        sy = ((row_p == row_q).astype(jnp.float32) * (1.0 - dy)
+              + (row_p == row_q + 1).astype(jnp.float32) * dy)
+        out = jnp.dot(sy, cx_blend, preferred_element_type=jnp.float32)
+        # Mosaic cannot reshape (d, d) -> (d*d,); emit lane-padded rows
+        # and flatten outside the kernel
+        return jnp.pad(out, ((0, 0), (0, out_dim - d)))[None]
+
     def body(g, _):
         base = pl.multiple_of(g * GROUP, GROUP)
         tg_full = targets_ref[pl.ds(base, GROUP), :, :]  # (GROUP, S, C)
-        tg = jnp.sum(tg_full.astype(jnp.float32) * s_onehot, axis=1)  # (GROUP, C)
+        tg = jnp.sum(tg_full.astype(jnp.float32) * s_onehot, axis=1)  # (G, C)
 
-        rows = []
+        rows = [[] for _ in range(L)]
         for k in range(GROUP):
-            cx = coords_ref[0, base + k, 0]
-            cy = coords_ref[0, base + k, 1]
-            x0 = jnp.floor(cx)
-            y0 = jnp.floor(cy)
-            dx = jnp.where(x0 < -(radius + 1), 0.0, cx - x0)
-            dy = jnp.where(y0 < -(radius + 1), 0.0, cy - y0)
-            xc = jnp.clip(x0.astype(jnp.int32), -(radius + 1), Wp + radius)
-            yc = jnp.clip(y0.astype(jnp.int32), -(radius + 1), Hp + radius)
-            xi = xc + (PAD - radius)   # padded col of tap (x0 - r)
-            yi = yc + (PAD - radius)
-            xa = pl.multiple_of((xi // 8) * 8, 8)
-            off = xi - xa              # in [0, 8)
+            cx0 = coords_ref[0, base + k, 0]
+            cy0 = coords_ref[0, base + k, 1]
+            for lvl in range(L):
+                Hp, Wp = dims[lvl]
+                sc = np.float32(scales[lvl])
+                rows[lvl].append(
+                    window(fmap_refs[lvl], tg[k], cx0 * sc, cy0 * sc, Hp, Wp)
+                )
 
-            win = fmap_ref[0, pl.ds(yi, D), pl.ds(xa, SLAB), :]  # (D, SLAB, C)
-            corr = jnp.sum(
-                win.astype(jnp.float32) * tg[k][None, None, :].astype(jnp.float32),
-                axis=-1,
-            ) * inv                                              # (D, SLAB)
-
-            # horizontal: select cols off..off+d and blend with dx in one
-            # matmul  (SLAB, d): S[p, q] = (1-dx)[p==q+off] + dx[p==q+off+1]
-            sel = ((col_p == col_q + off).astype(jnp.float32) * (1.0 - dx)
-                   + (col_p == col_q + off + 1).astype(jnp.float32) * dx)
-            cx_blend = jnp.dot(corr, sel, preferred_element_type=jnp.float32)
-            # vertical: (d, D) banded blend with dy
-            sy = ((row_p == row_q).astype(jnp.float32) * (1.0 - dy)
-                  + (row_p == row_q + 1).astype(jnp.float32) * dy)
-            out = jnp.dot(sy, cx_blend, preferred_element_type=jnp.float32)
-            # Mosaic cannot reshape (d, d) -> (d*d,); emit lane-padded rows
-            # and flatten outside the kernel
-            rows.append(jnp.pad(out, ((0, 0), (0, out_dim - d)))[None])
-
-        out_ref[pl.ds(base, GROUP), 0, :, :] = jnp.concatenate(rows, axis=0)
+        for lvl in range(L):
+            out_refs[lvl][pl.ds(base, GROUP), 0, :, :] = jnp.concatenate(
+                rows[lvl], axis=0
+            )
         return 0
 
     jax.lax.fori_loop(0, block_n // GROUP, body, 0)
+
+
+def _pad_fmap(fmaps, radius):
+    """Zero-pad one level's (S, C, H, W) maps for aligned slab loads."""
+    pad = 2 * radius + 2
+    fm = jnp.moveaxis(fmaps, 1, -1)  # (S, H, W, C)
+    # the horizontal slab is SLAB-wide from an 8-aligned start, so the right
+    # padding must absorb alignment + slab overshoot (and keep the sublane
+    # dim a multiple of 8); extra columns are never selected.
+    W = fm.shape[2]
+    slab = ((2 * radius + 2 + 7) // 8 + 1) * 8
+    w_total = -((-(W + 2 * pad + slab)) // 8) * 8
+    fm = jnp.pad(fm, ((0, 0), (pad, pad), (pad, w_total - W - pad), (0, 0)))
+    # bf16 residency: a full f32 frame double-buffered exceeds the ~16 MB
+    # VMEM budget at SLAM sizes; the contraction accumulates in f32.
+    return fm.astype(jnp.bfloat16)
+
+
+def corr_sample_levels_pallas(
+    fmaps_list: Sequence[jnp.ndarray],  # [(S, C, H_l, W_l)] one or more levels
+    targets: jnp.ndarray,               # (N, S, C) — track-major
+    coords: jnp.ndarray,                # (S, N, 2) at fmaps_list[0] resolution
+    radius: int,
+    scales: Sequence[float] = None,     # coord scale per level (default 2^-l)
+    block_n: int = 256,
+    interpret: bool = False,
+) -> Sequence[jnp.ndarray]:
+    """Fused correlation sampling for a group of pyramid levels.
+
+    Returns one (N, S, (2r+1)^2) array per level. Numerically matches
+    ops.corr.corr_sample_level (zero-padded bilinear window times feature,
+    reference-transposed flatten, scaled by 1/sqrt(C)) with the feature maps
+    read in bf16 (f32 accumulation). Targets and outputs are track-major
+    (N, S, ...): the consumer (the tracker's transformer input concat) is
+    track-major, and emitting that layout from the kernel's output BlockSpec
+    is free, whereas an XLA moveaxis of the (S, N, LRR) tensor costs an HBM
+    relayout pass per iteration.
+    """
+    L = len(fmaps_list)
+    S, C, _, _ = fmaps_list[0].shape
+    N = targets.shape[0]
+    d = 2 * radius + 1
+    out_dim = 128  # lane-padded row width per output window row
+    if scales is None:
+        scales = [0.5 ** l for l in range(L)]
+
+    fms = [_pad_fmap(fm, radius) for fm in fmaps_list]
+    dims = tuple((fm.shape[2], fm.shape[3]) for fm in fmaps_list)
+
+    n_pad = (-N) % block_n
+    coords_p = jnp.pad(coords, ((0, 0), (0, n_pad), (0, 0))) if n_pad else coords
+    targets_p = (jnp.pad(targets, ((0, n_pad), (0, 0), (0, 0)))
+                 if n_pad else targets)
+    Np = N + n_pad
+
+    grid = (S, Np // block_n)
+    outs = pl.pallas_call(
+        functools.partial(
+            _corr_kernel_multi, radius=radius, block_n=block_n,
+            out_dim=out_dim, dims=dims, scales=tuple(scales),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_n, 2), lambda s, nb: (s, nb, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (block_n, S, C), lambda s, nb: (nb, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ] + [
+            pl.BlockSpec(
+                (1, fm.shape[1], fm.shape[2], C), lambda s, nb: (s, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for fm in fms
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (block_n, 1, d, out_dim), lambda s, nb: (nb, s, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for _ in range(L)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, S, d, out_dim), jnp.float32)
+            for _ in range(L)
+        ],
+        interpret=interpret,
+    )(coords_p, targets_p, *fms)
+
+    # kernel windows are [y-offset, x-offset]; the reference layout is the
+    # transpose (see ops/corr.py corr_sample_level) — swap before flattening
+    return [
+        jnp.swapaxes(o[:N, :, :, :d], -1, -2).reshape(N, S, d * d)
+        for o in outs
+    ]
 
 
 def corr_sample_level_pallas(
@@ -120,70 +247,11 @@ def corr_sample_level_pallas(
     block_n: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused correlation sampling for one pyramid level: (N, S, (2r+1)^2).
-
-    Numerically matches ops.corr.corr_sample_level (zero-padded bilinear
-    window times feature, reference-transposed flatten, scaled by 1/sqrt(C))
-    with the feature map read in bf16 (f32 accumulation). Targets and
-    output are track-major (N, S, ...): the consumer (the tracker's
-    transformer input concat) is track-major, and emitting that layout from
-    the kernel's output BlockSpec is free, whereas an XLA moveaxis of the
-    (S, N, LRR) tensor costs an HBM relayout pass per iteration.
-    """
-    S, C, H, W = fmaps.shape
-    N = targets.shape[0]
-    d = 2 * radius + 1
-    out_dim = 128  # lane-padded row width per output window row
-
-    pad = 2 * radius + 2
-    fm = jnp.moveaxis(fmaps, 1, -1)  # (S, H, W, C)
-    # the horizontal slab is SLAB-wide from an 8-aligned start, so the right
-    # padding must absorb alignment + slab overshoot (and keep the sublane
-    # dim a multiple of 8); extra columns are never selected.
-    slab = ((2 * radius + 2 + 7) // 8 + 1) * 8
-    w_total = -((-(W + 2 * pad + slab)) // 8) * 8
-    fm = jnp.pad(fm, ((0, 0), (pad, pad), (pad, w_total - W - pad), (0, 0)))
-    # bf16 residency: a full f32 frame double-buffered exceeds the ~16 MB
-    # VMEM budget at SLAM sizes; the contraction accumulates in f32.
-    fm = fm.astype(jnp.bfloat16)
-
-    n_pad = (-N) % block_n
-    coords_p = jnp.pad(coords, ((0, 0), (0, n_pad), (0, 0))) if n_pad else coords
-    targets_p = jnp.pad(targets, ((0, n_pad), (0, 0), (0, 0))) if n_pad else targets
-    Np = N + n_pad
-
-    grid = (S, Np // block_n)
-    out = pl.pallas_call(
-        functools.partial(
-            _corr_kernel, radius=radius, block_n=block_n, out_dim=out_dim,
-            Hp=H, Wp=W,
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, block_n, 2), lambda s, nb: (s, nb, 0),
-                memory_space=pltpu.SMEM,
-            ),
-            pl.BlockSpec(
-                (block_n, targets.shape[1], C), lambda s, nb: (nb, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, fm.shape[1], fm.shape[2], C), lambda s, nb: (s, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (block_n, 1, d, out_dim), lambda s, nb: (nb, s, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((Np, S, d, out_dim), jnp.float32),
-        interpret=interpret,
-    )(coords_p, targets_p, fm)
-
-    # kernel windows are [y-offset, x-offset]; the reference layout is the
-    # transpose (see ops/corr.py corr_sample_level) — swap before flattening
-    return jnp.swapaxes(out[:N, :, :, :d], -1, -2).reshape(N, S, d * d)
+    """Single-level wrapper: (N, S, (2r+1)^2)."""
+    return corr_sample_levels_pallas(
+        [fmaps], targets, coords, radius, scales=[1.0],
+        block_n=block_n, interpret=interpret,
+    )[0]
 
 
 def corr_sample_pyramid_pallas(
@@ -193,11 +261,37 @@ def corr_sample_pyramid_pallas(
     radius: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """ops.corr.corr_sample_pyramid in the track-major (N, S, LRR) layout."""
-    outs = [
-        corr_sample_level_pallas(
-            fm, targets, coords / (2.0 ** lvl), radius, interpret=interpret
+    """ops.corr.corr_sample_pyramid in the track-major (N, S, LRR) layout.
+
+    Levels are grouped greedily under a VMEM budget: level 0 (the large map)
+    usually runs alone, the small levels share one fused track loop.
+    """
+    pad_bytes = []
+    for fm in pyramid:
+        S, C, H, W = fm.shape
+        slab = ((2 * radius + 2 + 7) // 8 + 1) * 8
+        pad = 2 * radius + 2
+        wt = -((-(W + 2 * pad + slab)) // 8) * 8
+        pad_bytes.append((H + 2 * pad) * wt * C * 2)
+
+    groups = []  # (start_lvl, [fmaps])
+    cur, cur_bytes, cur_start = [], 0, 0
+    for lvl, fm in enumerate(pyramid):
+        if cur and cur_bytes + pad_bytes[lvl] > _FUSE_BUDGET_BYTES:
+            groups.append((cur_start, cur))
+            cur, cur_bytes, cur_start = [], 0, lvl
+        cur.append(fm)
+        cur_bytes += pad_bytes[lvl]
+    if cur:
+        groups.append((cur_start, cur))
+
+    outs = []
+    for start, fms in groups:
+        outs.extend(
+            corr_sample_levels_pallas(
+                fms, targets, coords / (2.0 ** start), radius,
+                scales=[0.5 ** l for l in range(len(fms))],
+                interpret=interpret,
+            )
         )
-        for lvl, fm in enumerate(pyramid)
-    ]
     return jnp.concatenate(outs, axis=-1)

@@ -53,6 +53,10 @@ class MDTrackerAdapter:
             # the Pallas flash kernel is not shardable by GSPMD; the masked
             # dense/chunked attention path shards cleanly
             self.p = self.p._replace(use_flash_attention=False)
+        if mesh is not None and self.p.use_pallas_corr:
+            # same: the corr kernel cannot be partitioned over the track
+            # axis by GSPMD; the XLA gather-contract path shards cleanly
+            self.p = self.p._replace(use_pallas_corr=False)
         self.model = MDTracker(self.p, dtype=dtype)
         self.backward_tracking = backward_tracking
         # static-branch output merge (batrack.py:556-566): use_static_mask

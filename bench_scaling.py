@@ -26,10 +26,26 @@ import time
 
 
 def _ensure_devices():
-    """If only one device is visible, restart on a virtual 8-device CPU."""
-    import jax
+    """If fewer than 8 devices are visible, restart on a virtual 8-device CPU.
 
-    if len(jax.devices()) >= 8:
+    The device probe runs in a subprocess with a timeout: initializing a
+    tunneled TPU backend can HANG (not error) when the tunnel is down, and
+    once `import jax` has initialized a backend in this process it cannot be
+    switched.
+    """
+    import subprocess
+
+    n = 0
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            capture_output=True, timeout=90, text=True,
+        )
+        if r.returncode == 0 and r.stdout.strip():
+            n = int(r.stdout.strip().splitlines()[-1])
+    except Exception:
+        n = 0
+    if n >= 8:
         return
     os.environ["PALLAS_AXON_POOL_IPS"] = ""
     os.environ["JAX_PLATFORMS"] = "cpu"
