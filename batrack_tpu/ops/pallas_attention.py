@@ -19,6 +19,85 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _fused_qkv_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid, heads):
+    """All-head attention on the PACKED qkv projection output.
+
+    q_ref: (1, BQ, C), k_ref/v_ref: (1, N, C) — the q/k/v thirds of the
+    (B, N, 3C) qkv activation, selected by BlockSpec lane-blocking (C = 384
+    is 128-aligned, so the thirds are legal blocks). Heads are split by
+    STATIC lane slices inside the kernel (a register/VMEM shuffle), which is
+    the point: the XLA formulation reshapes (B, N, 3C) -> 3x(B, H, N, d) in
+    HBM at ~20% of copy bandwidth (~20 ms/tracker-forward, see ROOFLINE.md).
+    """
+    C = q_ref.shape[-1]
+    d = C // heads
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        q = q_ref[0, :, sl].astype(jnp.float32)       # (BQ, d)
+        k = k_ref[0, :, sl].astype(jnp.float32)       # (N, d)
+        v = v_ref[0, :, sl]                            # (N, d)
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                      # (BQ, N)
+        n_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(n_ids < n_valid, logits, -1e30)
+        m = logits.max(axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        s = p.sum(axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            (p / s).astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+
+
+def fused_qkv_attention(
+    qkv: jnp.ndarray,  # (B, N, 3*C) packed projection output
+    heads: int,
+    scale: float,
+    block_q: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Multi-head softmax attention directly on the packed qkv activation.
+
+    Returns (B, N, C) with heads re-merged — the layout the output
+    projection consumes — so neither the 3-way head split nor the head
+    merge ever materializes in HBM. K/V stay VMEM-resident per batch row
+    (fine at tracker space-attention sizes: (2432, 384) bf16 = 1.8 MB).
+    """
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    Np = -(-N // 128) * 128
+    if not block_q:
+        # Np/4 = 32*(Np/128): always a multiple of 8 and divides Np
+        block_q = Np // 4
+    assert Np % block_q == 0 and block_q % 8 == 0
+    if Np != N:
+        qkv = jnp.pad(qkv, ((0, 0), (0, Np - N), (0, 0)))
+
+    grid = (B, Np // block_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_qkv_kernel, scale=scale, n_valid=N, heads=heads
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Np, C), lambda b, i: (b, 0, 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Np, C), lambda b, i: (b, 0, 2),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, C), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Np, C), qkv.dtype),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+    return out[:, :N]
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid):
     q = q_ref[0].astype(jnp.float32)           # (BQ, D)
     k = k_ref[0].astype(jnp.float32)           # (N, D)

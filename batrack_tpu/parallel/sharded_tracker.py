@@ -19,17 +19,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from batrack_tpu.tracker.mdtracker import MDTracker
 
 
-def sharded_tracker_apply(
-    model: MDTracker,
-    params,
-    window_rgbd: jnp.ndarray,
-    queries: jnp.ndarray,
-    mesh: Mesh,
-    axis: str = "track",
-):
-    """Jit the tracker forward with the query axis sharded over `axis`."""
+@functools.lru_cache(maxsize=8)
+def make_sharded_tracker_fn(model: MDTracker, mesh: Mesh, axis: str = "track"):
+    """Jitted tracker forward with the query axis sharded over `axis`.
 
-    @functools.partial(jax.jit)
+    Cached on (model, mesh, axis) so repeated calls reuse the compiled
+    executable instead of re-tracing (MDTracker is a hashable frozen Flax
+    module; Mesh hashes by device assignment)."""
+
+    @jax.jit
     def fwd(params, window, q):
         q = jax.lax.with_sharding_constraint(q, NamedSharding(mesh, P(axis, None)))
         outs = model.apply(params, window, q)[:5]
@@ -45,5 +43,18 @@ def sharded_tracker_apply(
 
         return tuple(constrain(o) for o in outs)
 
+    return fwd
+
+
+def sharded_tracker_apply(
+    model: MDTracker,
+    params,
+    window_rgbd: jnp.ndarray,
+    queries: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "track",
+):
+    """One sharded tracker forward (compiled function cached per mesh)."""
+    fwd = make_sharded_tracker_fn(model, mesh, axis)
     with mesh:
         return fwd(params, window_rgbd, queries)

@@ -27,13 +27,25 @@ class OracleTracker:
     gt_poses: (T, 7) world-to-camera SE3 for every global frame.
     intrinsics: (4,) shared pinhole.
     noise: optional pixel-noise scale.
+    dynamic_velocity: optional (3,) world-space velocity (units/frame) applied
+        to points selected by dynamic_region — a rigidly moving object. The
+        oracle then labels those tracks dynamic=1, exercising the
+        motion-decoupled gating (weights_pose, slam/frontend.py:153-169) the
+        same way the learned MotionLabelBlock does (md_tracker.py:327-330).
+    dynamic_region: jnp predicate (NQ, 3) world points -> (NQ,) bool.
     """
 
-    def __init__(self, gt_poses, intrinsics, dims: StaticDims, noise: float = 0.0, seed: int = 0):
+    def __init__(self, gt_poses, intrinsics, dims: StaticDims, noise: float = 0.0,
+                 seed: int = 0, dynamic_velocity=None, dynamic_region=None):
         self.gt_poses = jnp.asarray(gt_poses, jnp.float32)
         self.intrinsics = jnp.asarray(intrinsics, jnp.float32)
         self.dims = dims
         self.noise = noise
+        self.dynamic_velocity = (
+            None if dynamic_velocity is None
+            else jnp.asarray(dynamic_velocity, jnp.float32)
+        )
+        self.dynamic_region = dynamic_region
         self.key = jax.random.PRNGKey(seed)
         self._apply = jax.jit(functools.partial(self._forward, dims=dims))
 
@@ -61,7 +73,18 @@ class OracleTracker:
         # project into all window frames
         w_frames = jnp.clip(tin.win_tstamps, 0, gt_poses.shape[0] - 1)
         G = jnp.take(gt_poses, w_frames, axis=0)  # (S, 7)
-        Xc = se3.act4(G[:, None, :], Pw[None, :, :])  # (S, NQ, 4)
+        if self.dynamic_velocity is not None:
+            dyn_mask = self.dynamic_region(Pw[:, :3])  # (NQ,)
+            dt = (w_frames[:, None] - q_frame[None, :]).astype(jnp.float32)
+            disp = dt[..., None] * self.dynamic_velocity  # (S, NQ, 3)
+            Pw_t = Pw[None, :, :3] + jnp.where(dyn_mask[None, :, None], disp, 0.0)
+            Pw_t = jnp.concatenate(
+                [Pw_t, jnp.ones(Pw_t.shape[:-1] + (1,), Pw_t.dtype)], axis=-1
+            )
+            Xc = se3.act4(G[:, None, :], Pw_t)  # (S, NQ, 4)
+        else:
+            dyn_mask = jnp.zeros(Pw.shape[0], bool)
+            Xc = se3.act4(G[:, None, :], Pw[None, :, :])  # (S, NQ, 4)
         z = jnp.maximum(Xc[..., 2], 1e-2)
         x = fx * Xc[..., 0] / z + cx
         y = fy * Xc[..., 1] / z + cy
@@ -79,7 +102,9 @@ class OracleTracker:
             tracks=jnp.stack([x, y], axis=-1),
             depths=z,
             vis=vis,
-            dynamic=jnp.zeros_like(z),
+            dynamic=jnp.broadcast_to(
+                dyn_mask.astype(jnp.float32)[None, :], z.shape
+            ),
         )
 
     def __call__(self, tin: TrackerInput) -> TrackerOutput:

@@ -9,6 +9,8 @@ TPU; the converter transposes torch kernels.
 
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -201,6 +203,16 @@ class Attention(nn.Module):
         B, N, C = x.shape
         head = C // self.num_heads
         qkv = nn.Dense(3 * C, name="qkv", dtype=self.dtype)(x)
+        scale0 = head ** -0.5
+        if (self.use_flash and key_mask is None and N >= self.flash_threshold
+                and jax.default_backend() == "tpu"
+                and os.environ.get("BATRACK_TPU_ATTN") == "fused"):
+            # packed-qkv kernel: heads are split/merged inside VMEM, so the
+            # (B,N,3C)->3x(B,H,N,d) HBM relayout (~20 ms/forward at SLAM
+            # sizes, ROOFLINE.md) never happens
+            from batrack_tpu.ops.pallas_attention import fused_qkv_attention
+            out = fused_qkv_attention(qkv, self.num_heads, scale0)
+            return nn.Dense(C, name="proj", dtype=self.dtype)(out)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head)
         q, k, v = jnp.moveaxis(qkv, 2, 0)
         q = jnp.moveaxis(q, 1, 2)  # (B, h, N, d)

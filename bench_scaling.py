@@ -1,20 +1,30 @@
-"""Multi-device scaling benchmark: SLAM FPS at 1/2/4/8 devices.
+"""Multi-device scaling benchmark: sharded SLAM + tracker at 1/2/4/8 devices.
 
-Drives the REAL BATrack loop (oracle tracker, synthetic plane scene) with
-the backend patch-sharded over an N-device mesh (parallel/sharded_slot_ba)
-and prints one JSON line:
+Two sections, one JSON line each:
 
-  {"metric": "slam_scaling", "fps": {"1": .., "2": .., ...},
-   "efficiency": {...}, "backend": ..., "notes": ...}
+  {"metric": "slam_scaling", "fps": {...}, "overhead": {...}, ...}
+     — the REAL BATrack loop (oracle tracker, synthetic plane scene) with
+       the backend patch-sharded over an N-device mesh
+       (parallel/sharded_slot_ba). Validates the production sharded
+       dataflow end-to-end.
+  {"metric": "tracker_scaling", "sec_per_forward": {...}, "overhead": {...}}
+     — the MDTracker forward (the >80%-of-device-time component,
+       ROOFLINE.md) with the query axis sharded over the mesh; space
+       attention all-gathers across it, everything else is per-track.
 
-efficiency[n] = fps[n] / (n * fps[1]).
+Measurement semantics on THIS environment: only one real TPU chip exists
+(behind the axon tunnel), so the mesh is the virtual 8-device CPU mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count=8, set automatically).
+All virtual devices share the same host cores — total compute capacity is
+constant in n — so the honest figure is NOT fps[n]/(n*fps[1]) but
 
-On this environment's single tunneled TPU chip the mesh is the virtual
-8-device CPU mesh (XLA_FLAGS=--xla_force_host_platform_device_count=8 is
-set automatically when only one real device exists), so the numbers
-validate the sharded dataflow and measure collective overhead, NOT real
-ICI scaling — run on a real pod slice for that. BASELINE.json's north
-star (>=80% efficiency at N>=2 hosts) is judged on real hardware.
+  overhead[n] = time_sharded[n] / time_unsharded - 1
+
+i.e. the extra cost GSPMD partitioning + collectives add to a fixed-size
+problem. On real chips, where each shard has its own compute,
+strong-scaling efficiency is approximately 1 / (1 + overhead) for the
+compute-bound tracker section; BASELINE.json's north star (>=80%
+efficiency at N>=2 hosts) is judged on real hardware.
 """
 
 from __future__ import annotations
@@ -117,19 +127,95 @@ def main() -> int:
 
     counts = [n for n in (1, 2, 4, 8) if n <= len(jax.devices())]
     fps = {str(n): round(run(n), 3) for n in counts}
-    eff = {
-        str(n): round(fps[str(n)] / (n * fps["1"]), 3) for n in counts if n > 1
+    overhead = {
+        str(n): round(fps["1"] / fps[str(n)] - 1.0, 3)
+        for n in counts if n > 1
     }
+    shared_compute = jax.default_backend() == "cpu"
     print(json.dumps({
         "metric": "slam_scaling",
         "fps": fps,
-        "efficiency": eff,
+        "overhead": overhead,
         "backend": jax.default_backend(),
         "n_devices_visible": len(jax.devices()),
-        "notes": "oracle tracker; patch-sharded slot BA backend. On the "
-                 "virtual CPU mesh this validates the sharded dataflow and "
-                 "collective overhead, not real ICI scaling.",
-    }))
+        "shared_compute_mesh": shared_compute,
+        "notes": "oracle tracker; patch-sharded slot BA backend; "
+                 "overhead[n] = time_sharded[n]/time_unsharded - 1 on a "
+                 "fixed-size problem. On the virtual CPU mesh all devices "
+                 "share the host cores, so this validates the sharded "
+                 "dataflow and prices the collectives, not real ICI "
+                 "scaling. The BA step is latency-bound at this size; the "
+                 "compute-bound component's scaling is the tracker_scaling "
+                 "section.",
+    }), flush=True)
+
+    # ---- tracker forward scaling (the dominant compute, track-sharded) ----
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from batrack_tpu.parallel import get_mesh as _get_mesh
+    from batrack_tpu.tracker.mdtracker import MDTracker, TrackerParams
+
+    tp = TrackerParams(S=8, iters=2, static_iters=1, interp_shape=(96, 128))
+    model = MDTracker(tp)
+    trng = np.random.default_rng(1)
+    S, H, W, N = 8, 96, 128, 1024
+    window = jnp.asarray(trng.uniform(0, 255, (S, 4, H, W)), jnp.float32)
+    window = window.at[:, 3].set(
+        jnp.asarray(trng.uniform(2, 6, (S, H, W)), jnp.float32))
+    queries = jnp.asarray(np.stack(
+        [np.zeros(N), trng.uniform(5, W - 5, N), trng.uniform(5, H - 5, N),
+         trng.uniform(2, 6, N)], -1), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), window, queries)
+
+    def timed_forward(n_dev):
+        if n_dev == 1:
+            fn = jax.jit(lambda p, w, q: model.apply(p, w, q)[0])
+        else:
+            mesh = _get_mesh(n_dev, ("track",))
+
+            def fwd(p, w, q):
+                q = jax.lax.with_sharding_constraint(
+                    q, NamedSharding(mesh, P("track", None)))
+                out = model.apply(p, w, q)[0]
+                return jax.lax.with_sharding_constraint(
+                    out, NamedSharding(mesh, P(None, "track", None)))
+
+            fn = jax.jit(fwd)
+        fn(params, window, queries).block_until_ready()  # compile + warm
+        reps, t0 = 2, time.time()
+        for _ in range(reps):
+            out = fn(params, window, queries)
+        out.block_until_ready()
+        return (time.time() - t0) / reps
+
+    sec = {str(n): round(timed_forward(n), 3) for n in counts}
+    t_overhead = {
+        str(n): round(sec[str(n)] / sec["1"] - 1.0, 3)
+        for n in counts if n > 1
+    }
+    result = {
+        "metric": "tracker_scaling",
+        "sec_per_forward": sec,
+        "overhead": t_overhead,
+        "backend": jax.default_backend(),
+        "shared_compute_mesh": shared_compute,
+        "shapes": {"S": S, "H": H, "W": W, "N": N,
+                   "iters": tp.iters, "static_iters": tp.static_iters},
+        "notes": "full MDTracker forward, query axis sharded over the mesh "
+                 "(space attention all-gathers; corr/flow/time-attention "
+                 "stay shard-local). overhead[n] as above; on real chips "
+                 "strong-scaling efficiency ~= 1/(1+overhead) since the "
+                 "forward is compute-bound.",
+    }
+    if shared_compute:
+        # negative overhead happens on the shared-compute mesh (multi-device
+        # async dispatch uses the host cores better than one device); cap the
+        # projection at 1.0 — it is a bound, not a promise
+        result["projected_real_chip_efficiency"] = {
+            n: round(min(1.0, 1.0 / (1.0 + v)), 3)
+            for n, v in t_overhead.items()
+        }
+    print(json.dumps(result), flush=True)
     return 0
 
 

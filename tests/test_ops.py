@@ -163,3 +163,28 @@ def test_pallas_corr_matches_xla(rng):
     np.testing.assert_allclose(
         np.moveaxis(np.asarray(out), 0, 1), np.asarray(ref), atol=2e-2
     )
+
+
+def test_fused_qkv_attention_matches_dense(rng):
+    """Packed-qkv Pallas attention (interpret mode) == dense multi-head
+    softmax attention, including the padded-key masking path."""
+    from batrack_tpu.ops.pallas_attention import fused_qkv_attention
+
+    B, N, H, d = 3, 200, 8, 48
+    C = H * d
+    qkv = jnp.asarray(rng.normal(size=(B, N, 3 * C)).astype(np.float32))
+    scale = d ** -0.5
+
+    q, k, v = [
+        np.moveaxis(
+            np.asarray(qkv[..., i * C:(i + 1) * C]).reshape(B, N, H, d), 1, 2
+        )
+        for i in range(3)
+    ]
+    logits = np.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    p = np.exp(logits - logits.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.moveaxis(np.einsum("bhqk,bhkd->bhqd", p, v), 1, 2).reshape(B, N, C)
+
+    out = fused_qkv_attention(qkv, H, scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)

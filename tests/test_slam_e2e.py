@@ -354,3 +354,50 @@ def test_fused_append_matches_legacy_path(scene):
     fused = drive(False)
     legacy = drive(True)
     np.testing.assert_allclose(fused, legacy, atol=1e-5)
+
+
+class TestDynamicSceneRobustness:
+    """The system's headline capability (arXiv 2504.14516): camera pose must
+    survive rigidly-moving scene content because dynamic tracks are excluded
+    from the pose pass (weights_pose gating, slam/frontend.py:153-169 ==
+    batrack.py:769-798) while still being tracked/reconstructed."""
+
+    def _run(self, scene, static_threshold):
+        poses_gt, depths, images = scene
+        cfg = small_config()
+        cfg.slam.STATIC_THRESHOLD = static_threshold
+        dims = StaticDims.from_config(cfg, HT, WD)
+        slam = BATrack(cfg, HT, WD, seed=0)
+        # a rigid object (world x > -0.5, about half the initially visible
+        # plane) translating at 0.12 world-units/frame = ~1.4 px/frame apparent
+        slam.tracker = OracleTracker(
+            poses_gt, INTR, dims,
+            dynamic_velocity=(0.12, 0.0, 0.0),
+            dynamic_region=lambda p: p[:, 0] > -0.5,
+        )
+        for t in range(T_FRAMES):
+            slam(t, images[t], depths[t], INTR)
+        poses_tum, _ = slam.terminate()
+        return ate_rmse(poses_tum, poses_gt), slam
+
+    def test_gating_protects_pose(self, scene):
+        # ~half the points are static, so the constraint set is thinner than
+        # the all-static scene's (ATE<0.05); 0.15 is still ~7x better than
+        # the ungated run on the same data
+        err_gated, slam = self._run(scene, static_threshold=0.1)
+        assert err_gated < 0.15, err_gated
+        # the dynamic labels actually flowed through to the factor graph:
+        # a real mix of static and dynamic patches must be recorded
+        live = np.asarray(slam.state.patches_valid[: slam.n * slam.dims.M]) > 0
+        local_static = np.asarray(
+            slam.state.local_static[: slam.n * slam.dims.M]
+        )
+        frac_dyn = 1.0 - local_static[live].mean()
+        assert 0.1 < frac_dyn < 0.9, frac_dyn
+
+    def test_ungated_pose_degrades(self, scene):
+        """STATIC_THRESHOLD=0 admits every track into the pose pass; the
+        moving object then drags the trajectory: the gate is load-bearing."""
+        err_gated, _ = self._run(scene, static_threshold=0.1)
+        err_ungated, _ = self._run(scene, static_threshold=0.0)
+        assert err_ungated > 2.5 * err_gated, (err_gated, err_ungated)
