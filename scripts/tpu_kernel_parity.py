@@ -62,6 +62,64 @@ def main():
     print(f"flash vs dense attention: abs {float(jnp.abs(fl - dn).max()):.2e} "
           f"(B={B} h={Hh} N={Nq} d={D})")
 
+    # ---- fused packed-qkv kernel: parity + timing A/B vs the XLA layout
+    # path (reshape -> head split -> flash -> head merge). Both consume the
+    # same (B, N, 3C) qkv activation, exactly what Attention.__call__ swaps.
+    import time
+
+    from batrack_tpu.ops.pallas_attention import fused_qkv_attention
+
+    C = Hh * D
+    qkv = jnp.asarray(rng.normal(size=(B, Nq, 3 * C)), jnp.float32)
+
+    def xla_path(x):
+        t = x.reshape(B, Nq, 3, Hh, D)
+        qq, kk, vv = jnp.moveaxis(t, 2, 0)
+        qq, kk, vv = (jnp.moveaxis(a, 1, 2) for a in (qq, kk, vv))
+        o = _tpu_flash_attention(qq, kk, vv, scale_a)
+        return jnp.moveaxis(o, 1, 2).reshape(B, Nq, C)
+
+    def dense_path(x):
+        t = x.reshape(B, Nq, 3, Hh, D)
+        qq, kk, vv = jnp.moveaxis(t, 2, 0)
+        qq, kk, vv = (jnp.moveaxis(a, 1, 2) for a in (qq, kk, vv))
+        return jnp.moveaxis(dense(qq, kk, vv), 1, 2).reshape(B, Nq, C)
+
+    fns = {
+        "fused_qkv(pallas)": jax.jit(
+            lambda x: fused_qkv_attention(x, Hh, scale_a)),
+        "split+flash(xla)": jax.jit(xla_path),
+        "split+dense(xla)": jax.jit(dense_path),
+    }
+    ref_o = fns["split+dense(xla)"](qkv)
+    fu_o = fns["fused_qkv(pallas)"](qkv)
+    print(f"fused qkv vs dense: abs {float(jnp.abs(fu_o - ref_o).max()):.2e} "
+          f"(packed B={B} N={Nq} 3C={3 * C})")
+
+    reps = 30
+    for name, fn in fns.items():
+        o = fn(qkv)
+        float(o[0, 0, 0])  # warm + sync (block_until_ready lies on axon)
+        t0 = time.time()
+        for _ in range(reps):
+            o = fn(qkv)
+        float(o[0, 0, 0])
+        dt = (time.time() - t0) / reps * 1000
+        print(f"  {name}: {dt:.2f} ms/block (x{reps}, incl. amortised "
+              f"dispatch)")
+
+    # bf16 variants (the production compute dtype)
+    qkv16 = qkv.astype(jnp.bfloat16)
+    for name, fn in fns.items():
+        o = fn(qkv16)
+        float(o[0, 0, 0].astype(jnp.float32))
+        t0 = time.time()
+        for _ in range(reps):
+            o = fn(qkv16)
+        float(o[0, 0, 0].astype(jnp.float32))
+        dt = (time.time() - t0) / reps * 1000
+        print(f"  {name} bf16: {dt:.2f} ms/block")
+
 
 if __name__ == "__main__":
     main()
