@@ -30,6 +30,15 @@ def build_stream(cfg):
 
     d = cfg.data
     depthdir_gt = d.depthdir_gt or d.depthdir
+    if d.depthdir_gt and d.traj_format not in ("sintel", "tartanair"):
+        # neither the davis/generic Python streams nor the native loader
+        # carry a separate gt-depth channel (the reference's don't either);
+        # silently yielding depth_gt = prior depth would corrupt depth
+        # metrics, so reject the combination loudly
+        raise ValueError(
+            f"data.depthdir_gt is only supported for traj_format "
+            f"sintel/tartanair, not {d.traj_format!r}"
+        )
     if d.native_prefetch and d.traj_format not in ("sintel", "tartanair"):
         # native C++ prefetch loader (decode/crop on background threads);
         # yields frames identical to the Python streams
@@ -89,6 +98,14 @@ def main(argv=None) -> int:
     enable_compile_cache()
     cfg = load_config(args.config, args.overrides)
 
+    if cfg.slam.distributed:
+        # must run before ANY other JAX use (checkpoint conversion below
+        # already initializes the local backend, after which multi-host
+        # initialization is impossible)
+        from batrack_tpu.parallel.mesh import init_distributed
+
+        init_distributed()
+
     from batrack_tpu.slam import BATrack
     from batrack_tpu.tracker import MDTrackerAdapter, load_checkpoint
     from batrack_tpu.utils.evaluation import eval_metrics
@@ -133,11 +150,10 @@ def main(argv=None) -> int:
                 from batrack_tpu.parallel.mesh import (
                     get_host_chip_mesh,
                     get_mesh,
-                    init_distributed,
                 )
 
                 if cfg.slam.distributed:
-                    init_distributed()
+                    # init_distributed already ran at startup (see above)
                     mesh = get_host_chip_mesh()
                 else:
                     mesh = get_mesh(cfg.slam.mesh_devices)

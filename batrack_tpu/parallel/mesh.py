@@ -25,6 +25,12 @@ def get_mesh(
     """1D (or reshaped) mesh over the first n devices."""
     devices = jax.devices()
     n = n_devices or len(devices)
+    if n > len(devices):
+        raise ValueError(
+            f"requested a {n}-device mesh but only {len(devices)} devices "
+            f"are visible — a silent truncation would run at lower "
+            f"parallelism than configured"
+        )
     devs = np.asarray(devices[:n])
     if len(axis_names) == 1:
         return Mesh(devs, axis_names)
@@ -42,23 +48,44 @@ def init_distributed(
 ) -> None:
     """Multi-host entry: jax.distributed.initialize with env-var fallback.
 
-    Call once per host process before any mesh is built (run_slam does this
-    when data.distributed is set). With no arguments JAX resolves the
-    coordinator from the cluster environment (GKE/Cloud TPU metadata or
-    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID). No-op if
-    the runtime is already initialized or the job is single-process.
+    Call once per host process BEFORE any other JAX use (run_slam does this
+    when slam.distributed is set). With no explicit arguments JAX resolves
+    the coordinator from the cluster environment (GKE/Cloud TPU metadata,
+    SLURM/OMPI, or JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID). No-op for a plain single-process local run (no
+    coordinator configuration anywhere) and when the runtime is already
+    initialized.
+
+    Must not touch jax.devices()/process_count() before initializing:
+    querying them initializes the local backend, after which
+    jax.distributed.initialize always fails (the round-1 version of this
+    helper had exactly that bug and silently fell back to single-host).
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    import os
+
     try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    except RuntimeError:
-        # already initialized (or single-process local run) — keep going
+        from jax._src import distributed as _dist
+
+        if _dist.global_state.client is not None:
+            return  # runtime already initialized — idempotent
+    except (ImportError, AttributeError):  # pragma: no cover - jax internals
         pass
+    has_explicit = coordinator_address is not None or num_processes is not None
+    env_keys = (
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+        "JAX_NUM_PROCESSES", "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE",
+        "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+    )
+    in_cluster = any(os.environ.get(k) for k in env_keys)
+    if not (has_explicit or in_cluster):
+        return  # single-process local run: nothing to initialize
+    # raise loudly on failure — a silent fallback to single-host is the
+    # worst outcome for a job the user asked to distribute
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 
 def get_host_chip_mesh(axis_names: Sequence[str] = ("host", "chip")) -> Mesh:

@@ -110,7 +110,7 @@ def sharded_slam_update(
           state.e_target, state.e_weight, state.e_weight_pose)
         state = state._replace(e_weight=e_w, e_weight_pose=e_wp)
 
-    from batrack_tpu.slam.update import update_point_cloud
+    from batrack_tpu.slam.update import cloud_window_frames, update_point_cloud
 
-    wf = min(dims.N, cfg.OPTIMIZATION_WINDOW + (dims.S_local + 1) // 2 + 1)
+    wf = cloud_window_frames(cfg, dims)
     return update_point_cloud(state, n, dims, window_frames=wf)

@@ -149,7 +149,7 @@ def sharded_slot_slam_update(
             e_weight=e_w.reshape(-1, 2), e_weight_pose=e_wp.reshape(-1, 2)
         )
 
-    from batrack_tpu.slam.update import update_point_cloud
+    from batrack_tpu.slam.update import cloud_window_frames, update_point_cloud
 
-    wf = min(dims.N, cfg.OPTIMIZATION_WINDOW + (dims.S_local + 1) // 2 + 1)
+    wf = cloud_window_frames(cfg, dims)
     return update_point_cloud(state, n, dims, window_frames=wf)

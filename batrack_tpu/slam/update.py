@@ -114,8 +114,28 @@ def slam_update(
             e_weight_pose=state.e_weight_pose * keep,
         )
 
-    wf = min(dims.N, cfg.OPTIMIZATION_WINDOW + (dims.S_local + 1) // 2 + 1)
-    return update_point_cloud(state, n, dims, window_frames=wf)
+    return update_point_cloud(
+        state, n, dims, window_frames=cloud_window_frames(cfg, dims)
+    )
+
+
+def cloud_window_frames(cfg, dims: StaticDims) -> int:
+    """Frames whose point-cloud rows can still mutate (single source of
+    truth for the windowed update_point_cloud pass; also used by the sharded
+    backends). A row changes only while its source frame is (a) inside the
+    BA optimization window plus the S_local/2 reprojection margin, or
+    (b) inside the S_slam append window (gate_and_append overwrites
+    local_targets for the last S_slam frames every append). Since
+    S_local = 2*S_slam - 1 (state.py:37), (S_local+1)//2 == S_slam and the
+    margin term alone already covers (b) — the max() keeps the invariant
+    explicit rather than incidental."""
+    return min(
+        dims.N,
+        max(
+            cfg.OPTIMIZATION_WINDOW + (dims.S_local + 1) // 2,
+            dims.S_slam,
+        ) + 1,
+    )
 
 
 def update_point_cloud(

@@ -140,13 +140,17 @@ class MDTrackerAdapter:
 
         if self.backward_tracking:
             # flip the window, flip query times, fill never-seen slots
-            # (_compute_backward_tracks, batrack.py:590-629). Per-frame
-            # features are direction-independent, so the backward pass reuses
-            # the forward window's fmaps reversed instead of re-encoding.
+            # (_compute_backward_tracks, batrack.py:590-629). The backward
+            # pass re-encodes its own features: backward tracking only runs
+            # in multi-window configs (S_slam > model.S), where the forward
+            # fmaps were encoded under per-window sliding depth-normalisation
+            # stats — reusing them reversed diverges from a fresh backward
+            # encode by ~0.3 px (measured), amplified by the iterative
+            # refinement.
             inv_window = window[::-1]
             inv_q = q.at[:, 0].set(S - 1 - q[:, 0])
             itraj, idepth, istatic3d, ivis, idyn, _ = self.model_bwd.apply(
-                params, inv_window, inv_q, fmaps[::-1], self.p.S
+                params, inv_window, inv_q
             )
             itraj, idepth = self._static_merge(itraj, idepth, istatic3d, idyn)
             itraj = itraj[::-1]

@@ -92,12 +92,13 @@ class BasicEncoder(nn.Module):
         return x
 
 
-def _chunked_attention(q, k, v, scale, chunk: int):
+def _chunked_attention(q, k, v, scale, chunk: int, key_mask=None):
     """Flash-style online-softmax attention over key chunks.
 
     q, k, v: (B, h, N, d). Bounds the probs transient to (.., N, chunk)
     instead of the full (.., N, N) volume — the space-attention blocks at
     SLAM sizes would otherwise materialise ~1 GB per block.
+    key_mask: optional (N,) bool — False keys are excluded for every query.
     """
     B, H, N, D = q.shape
     n_chunks = (N + chunk - 1) // chunk
@@ -108,6 +109,10 @@ def _chunked_attention(q, k, v, scale, chunk: int):
     kc = k.reshape(B, H, n_chunks, chunk, D)
     vc = v.reshape(B, H, n_chunks, chunk, D)
     neg = jnp.float32(-1e30)
+    kmask = None
+    if key_mask is not None:
+        kmask = jnp.pad(key_mask, (0, pad)) if pad else key_mask
+        kmask = kmask.reshape(n_chunks, chunk)
 
     m0 = jnp.full((B, H, N), -jnp.inf, jnp.float32)
     s0 = jnp.zeros((B, H, N), jnp.float32)
@@ -123,6 +128,8 @@ def _chunked_attention(q, k, v, scale, chunk: int):
         if pad:
             key_ids = idx * chunk + jnp.arange(chunk)
             logits = jnp.where(key_ids[None, None, None, :] < N, logits, neg)
+        if kmask is not None:
+            logits = jnp.where(kmask[idx][None, None, None, :], logits, neg)
         m_new = jnp.maximum(m, logits.max(axis=-1))
         p = jnp.exp(logits - m_new[..., None])
         corr = jnp.exp(m - m_new)
@@ -138,7 +145,7 @@ def _chunked_attention(q, k, v, scale, chunk: int):
     return (acc / s[..., None]).astype(q.dtype)
 
 
-def _tpu_flash_attention(q, k, v, scale):
+def _tpu_flash_attention(q, k, v, scale, key_mask=None):
     """Pallas TPU flash attention for (B, h, N, d) with d < 128, N arbitrary.
 
     Pads d to the 128-lane width (zero value columns stay zero in the
@@ -146,6 +153,11 @@ def _tpu_flash_attention(q, k, v, scale):
     padded keys. On v5e at the tracker's space-attention shape
     (12, 8, 2400, 48) this halves device time vs the dense softmax (the
     (N, N) probs tensor never round-trips HBM), despite the 48->128 pad.
+
+    key_mask: optional (N,) bool — False keys are excluded from every
+    query's softmax (all-query ids 1 vs masked-key ids 0, which the
+    kernel's q_id == kv_id test turns into the same -inf bias the dense
+    path applies). Assumes at least one True key.
     """
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes, SegmentIds, flash_attention)
@@ -161,7 +173,13 @@ def _tpu_flash_attention(q, k, v, scale):
         return jnp.pad(x, ((0, 0), (0, 0), (0, NP - N), (0, 0)))
 
     seg = None
-    if NP != N:
+    if key_mask is not None:
+        kv_ok = (jnp.arange(NP) < N) & jnp.pad(key_mask, (0, NP - N))
+        seg = SegmentIds(
+            q=jnp.ones((B, NP), jnp.int32),
+            kv=jnp.broadcast_to(kv_ok.astype(jnp.int32), (B, NP)),
+        )
+    elif NP != N:
         ids = jnp.broadcast_to(
             (jnp.arange(NP) < N).astype(jnp.int32), (B, NP))
         seg = SegmentIds(q=ids, kv=ids)
@@ -219,11 +237,11 @@ class Attention(nn.Module):
         k = jnp.moveaxis(k, 1, 2)
         v = jnp.moveaxis(v, 1, 2)
         scale = head ** -0.5
-        if (self.use_flash and key_mask is None and N >= self.flash_threshold
+        if (self.use_flash and N >= self.flash_threshold
                 and jax.default_backend() == "tpu"):
-            out = _tpu_flash_attention(q, k, v, scale)
-        elif key_mask is None and N > self.chunk_threshold:
-            out = _chunked_attention(q, k, v, scale, self.chunk)
+            out = _tpu_flash_attention(q, k, v, scale, key_mask)
+        elif N > self.chunk_threshold:
+            out = _chunked_attention(q, k, v, scale, self.chunk, key_mask)
         else:
             attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
             if key_mask is not None:

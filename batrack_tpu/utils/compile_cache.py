@@ -13,8 +13,10 @@ import os
 
 def enable_compile_cache(cache_dir: str | None = None) -> str | None:
     env = os.environ.get("BATRACK_COMPILE_CACHE", "")
-    if env.lower() in ("off", "0", "none"):
+    if env.lower() in ("off", "0", "none", "false"):
         return None
+    if env.lower() in ("1", "on", "true", "yes"):
+        env = ""  # conventional enable spellings mean the default dir
     cache_dir = cache_dir or env or os.path.expanduser(
         "~/.cache/batrack_tpu_xla"
     )

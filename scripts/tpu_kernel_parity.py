@@ -62,6 +62,22 @@ def main():
     print(f"flash vs dense attention: abs {float(jnp.abs(fl - dn).max()):.2e} "
           f"(B={B} h={Hh} N={Nq} d={D})")
 
+    # ---- masked flash (key_mask -> segment ids) vs masked dense
+    mask = jnp.asarray(rng.uniform(size=Nq) > 0.3)
+
+    def dense_masked(q, k, v):
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale_a
+        attn = jnp.where(mask[None, None, None, :], attn, -1e30)
+        return jnp.einsum(
+            "bhqk,bhkd->bhqd", jax.nn.softmax(attn, axis=-1), v)
+
+    flm = jax.jit(
+        lambda q, k, v: _tpu_flash_attention(q, k, v, scale_a, mask))(q, k, v)
+    dnm = jax.jit(dense_masked)(q, k, v)
+    err_m = float(jnp.abs(flm - dnm).max())
+    print(f"masked flash vs masked dense: abs {err_m:.2e} "
+          f"({int(mask.sum())}/{Nq} keys active)")
+
     # ---- fused packed-qkv kernel: parity + timing A/B vs the XLA layout
     # path (reshape -> head split -> flash -> head merge). Both consume the
     # same (B, N, 3C) qkv activation, exactly what Attention.__call__ swaps.

@@ -188,3 +188,24 @@ def test_fused_qkv_attention_matches_dense(rng):
 
     out = fused_qkv_attention(qkv, H, scale, interpret=True)
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+def test_chunked_attention_key_mask_matches_dense(rng):
+    """Masked chunked (online-softmax) attention == masked dense softmax."""
+    import jax
+    import jax.numpy as jnp2
+
+    from batrack_tpu.tracker.blocks import _chunked_attention
+
+    B, H, N, D = 2, 3, 50, 16
+    q, k, v = (jnp.asarray(rng.normal(size=(B, H, N, D)).astype(np.float32))
+               for _ in range(3))
+    mask = jnp.asarray(rng.uniform(size=N) > 0.3)
+    scale = D ** -0.5
+
+    attn = jnp2.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    attn = jnp2.where(mask[None, None, None, :], attn, -1e30)
+    ref = jnp2.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(attn, -1), v)
+
+    out = _chunked_attention(q, k, v, scale, chunk=16, key_mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

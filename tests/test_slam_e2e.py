@@ -308,11 +308,13 @@ def test_windowed_point_cloud_matches_full(scene):
 
     from batrack_tpu.slam.update import update_point_cloud
 
+    from batrack_tpu.slam.update import cloud_window_frames
+
     slam = run_slam(scene)
     n = jnp.asarray(slam.n, jnp.int32)
     full = update_point_cloud(slam.state, n, slam.dims, window_frames=None)
     cfg = slam.cfg.slam
-    wf = min(slam.dims.N, cfg.OPTIMIZATION_WINDOW + (slam.dims.S_local + 1) // 2 + 1)
+    wf = cloud_window_frames(cfg, slam.dims)
     win = update_point_cloud(slam.state, n, slam.dims, window_frames=wf)
     live = slam.n * slam.dims.M
     np.testing.assert_allclose(
@@ -401,3 +403,35 @@ class TestDynamicSceneRobustness:
         err_gated, _ = self._run(scene, static_threshold=0.1)
         err_ungated, _ = self._run(scene, static_threshold=0.0)
         assert err_ungated > 2.5 * err_gated, (err_gated, err_ungated)
+
+
+def test_windowed_point_cloud_s_slam_dominant(scene):
+    """Same equality with a BA window much smaller than the append window:
+    rows appended by gate_and_append up to S_slam frames back must still be
+    recomputed. (Structurally guaranteed because the S_local/2 margin equals
+    S_slam — cloud_window_frames documents the invariant; this pins it.)"""
+    import jax.numpy as jnp
+
+    from batrack_tpu.slam.update import cloud_window_frames, update_point_cloud
+
+    poses_gt, depths, images = scene
+    cfg = small_config()
+    cfg.slam.OPTIMIZATION_WINDOW = 2   # << S_slam
+    cfg.slam.REMOVAL_WINDOW = 3
+    cfg.slam.S_slam = 8
+    dims = StaticDims.from_config(cfg, HT, WD)
+    slam = BATrack(cfg, HT, WD, seed=0)
+    slam.tracker = OracleTracker(poses_gt, INTR, dims)
+    for t in range(T_FRAMES):
+        slam(t, images[t], depths[t], INTR)
+
+    n = jnp.asarray(slam.n, jnp.int32)
+    full = update_point_cloud(slam.state, n, slam.dims, window_frames=None)
+    wf = cloud_window_frames(cfg.slam, slam.dims)
+    assert wf >= slam.dims.S_slam + 1
+    win = update_point_cloud(slam.state, n, slam.dims, window_frames=wf)
+    live = slam.n * slam.dims.M
+    np.testing.assert_allclose(
+        np.asarray(full.local_targets[:live]),
+        np.asarray(win.local_targets[:live]), atol=1e-5,
+    )
