@@ -122,3 +122,51 @@ def test_two_process_host_chip_mesh(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
         assert "multihost slot BA ok" in out
+
+
+def test_init_distributed_noop_without_cluster(monkeypatch):
+    """Plain local run: init_distributed must not call
+    jax.distributed.initialize (and must not have touched process_count
+    first — doing so initializes the backend and breaks multi-host init)."""
+    import jax
+
+    from batrack_tpu.parallel.mesh import init_distributed
+
+    for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+              "JAX_NUM_PROCESSES", "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE",
+              "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(k, raising=False)
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+    init_distributed()
+    assert calls == []
+
+
+def test_init_distributed_calls_initialize_with_config(monkeypatch):
+    import jax
+
+    from batrack_tpu.parallel.mesh import init_distributed
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+    # explicit arguments
+    init_distributed("10.0.0.1:1234", 2, 0)
+    # env-var configuration
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    init_distributed()
+    assert len(calls) == 2
+    assert calls[0]["coordinator_address"] == "10.0.0.1:1234"
+
+
+def test_compile_cache_env_semantics(monkeypatch, tmp_path):
+    from batrack_tpu.utils.compile_cache import enable_compile_cache
+
+    monkeypatch.setenv("BATRACK_COMPILE_CACHE", "off")
+    assert enable_compile_cache() is None
+    monkeypatch.setenv("BATRACK_COMPILE_CACHE", "1")
+    d = enable_compile_cache()
+    assert d is not None and d.endswith("batrack_tpu_xla")  # not a dir named '1'
+    monkeypatch.setenv("BATRACK_COMPILE_CACHE", str(tmp_path / "c"))
+    assert enable_compile_cache() == str(tmp_path / "c")
