@@ -28,6 +28,15 @@ def _fused_qkv_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid, heads):
     STATIC lane slices inside the kernel (a register/VMEM shuffle), which is
     the point: the XLA formulation reshapes (B, N, 3C) -> 3x(B, H, N, d) in
     HBM at ~20% of copy bandwidth (~20 ms/tracker-forward, see ROOFLINE.md).
+
+    Mosaic risk (untested on hardware as of 2026-08-18 — tunnel outage): the
+    d=48 static lane slices sit at non-128-aligned offsets. If Mosaic
+    rejects them, fallbacks in preference order: (a) zero-pad the qkv Dense
+    weight columns so each head occupies a 128-lane slab (3*8*128 = 3072
+    output lanes; ~2.7x qkv-matmul FLOPs = +0.5 ms/block, slices become
+    legal 128-aligned blocks and the head loop can move into the grid);
+    (b) NOT a masked full-C dot per head — that triples MXU time vs the
+    padded-48 contraction.
     """
     C = q_ref.shape[-1]
     d = C // heads
