@@ -211,6 +211,10 @@ def slot_ba_iteration_fm(
     v = v * jnp.isfinite(rx) * jnp.isfinite(ry)
     # drop edges whose frames fall outside the live range
     v = v * (i_fr[:, :, None, None] < n) * (j_fr[:, None, :, None] < n)
+    # edges whose source patch left the REMOVAL window are DELETED in the
+    # reference (keyframe_simple, batrack.py:1020-1024): gate the whole edge
+    # out of the pose system too, not just its depth blocks (f_ok below)
+    v = v * (i_fr[:, :, None, None] >= base_f)
 
     # where() instead of multiplication: 0 * NaN would still poison the sums
     gate = v > 0

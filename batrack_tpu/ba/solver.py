@@ -115,6 +115,12 @@ def ba_iteration(
         & (coords[..., 1] < bounds[3])
     )
     v = v * in_bounds * prob.valid * jnp.isfinite(r).all(axis=-1)
+    # the reference DELETES edges whose source patch left the REMOVAL window
+    # (keyframe_simple, batrack.py:1020-1024) — they contribute nothing, not
+    # even pose blocks (an old-source edge can still have a free target pose
+    # j >= t0, so gating only the depth blocks would leave a stale
+    # frozen-depth Bjj/v_j term the reference does not have)
+    v = v * (prob.kk >= prob.base_k)
 
     # where() instead of multiplication: 0 * NaN would still poison the sums
     gate = (v > 0)[..., None]

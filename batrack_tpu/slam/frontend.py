@@ -158,7 +158,7 @@ def gate_and_append(
     disp = 1.0 / jnp.maximum(depths, 1e-2)
     target_3d = jnp.concatenate([tracks, disp[..., None]], axis=-1)  # (S, NQ, 3)
 
-    weight = (vis_label & boundary & live).astype(jnp.float32)       # (S, NQ)
+    weight = vis_raw.astype(jnp.float32)                              # (S, NQ)
 
     # track-length gate (predict_target :779-786); also writes patches_valid
     track_len = (weight > 0).sum(axis=0)                              # (NQ,)
@@ -182,10 +182,6 @@ def gate_and_append(
         state.patches_valid,
     )
 
-    # query mono-disparity store (get_window_trajs :686-689)
-    q_disp = 1.0 / jnp.maximum(tin.queries[:, 3], 1e-2)
-    patches_monodisp = state.patches_monodisp.at[q_rows].set(q_disp, mode="drop")
-
     # ---- factor-graph append (__edges :399-410 + predict_target :795-798)
     # edge grid (qs, m, s): ii = win_start + qs*kf, jj = win_start + s
     q_frame = (tin.win_start + jnp.arange(n_src) * kf).astype(jnp.int32)
@@ -205,8 +201,7 @@ def gate_and_append(
     e_w = to_edge(weight).reshape(-1)
     e_wp = to_edge(weight_pose).reshape(-1)
     e_st = to_edge(static_label.astype(jnp.float32)).reshape(-1)
-    e_valid = to_edge(live.astype(jnp.float32) * jnp.broadcast_to(
-        tin.query_valid[None, :], (S_slam, NQ)).astype(jnp.float32)).reshape(-1)
+    e_valid = to_edge(live.astype(jnp.float32)).reshape(-1)
 
     eps = dims.edges_per_slot
     base = slot * eps
@@ -225,7 +220,6 @@ def gate_and_append(
         e_static=state.e_static.at[rows].set(e_st),
         slot_start=state.slot_start.at[slot].set(tin.win_start.astype(jnp.int32)),
         patches_valid=patches_valid,
-        patches_monodisp=patches_monodisp,
     )
 
     # ---- local trajectory buffers (update_local :632-663)
@@ -242,7 +236,6 @@ def gate_and_append(
 
     state = state._replace(
         local_targets=state.local_targets.at[kk_f, lid_f].set(e_target, mode="drop"),
-        local_monodisp=state.local_monodisp.at[kk_f, lid_f].set(e_target[:, 2], mode="drop"),
         local_vis=state.local_vis.at[kk_f, lid_f].set(vis_e_edge, mode="drop"),
         local_static=state.local_static.at[kk_f, lid_f].set(static_e_edge, mode="drop"),
         local_weights=state.local_weights.at[kk_f, lid_f].set(e_w, mode="drop"),

@@ -94,11 +94,9 @@ def remove_keyframe(
         poses=shift_frame(state.poses),
         intrinsics=shift_frame(state.intrinsics),
         patches=shift_patch(state.patches),
-        patches_monodisp=shift_patch(state.patches_monodisp),
         patches_valid=shift_patch(state.patches_valid),
         colors=shift_patch(state.colors),
         local_targets=shift_patch(state.local_targets),
-        local_monodisp=shift_patch(state.local_monodisp),
         local_vis=shift_patch(state.local_vis),
         local_static=shift_patch(state.local_static),
         local_weights=shift_patch(state.local_weights),

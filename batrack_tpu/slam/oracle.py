@@ -56,10 +56,18 @@ class OracleTracker:
         q_frame = jnp.clip(jnp.take(tin.win_tstamps, sid), 0, gt_poses.shape[0] - 1)
 
         # depth at the query from its own window frame (use provided depth
-        # channel of the rgbd window for realism)
+        # channel of the rgbd window for realism). Sample every frame at the
+        # query coords and select by source id — gathering a full map per
+        # query (depth_maps[sid]) materialises an (NQ, H, W) array.
         depth_maps = tin.window_rgbd[:, 3]  # (S, H, W)
+        NQ = tin.queries.shape[0]
         xq, yq = tin.queries[:, 1], tin.queries[:, 2]
-        d = bilinear_sample2d(depth_maps[sid][:, None], xq[:, None], yq[:, None])[:, 0, 0]
+        d_all = bilinear_sample2d(
+            depth_maps[:, None],
+            jnp.broadcast_to(xq[None], (S, NQ)),
+            jnp.broadcast_to(yq[None], (S, NQ)),
+        )[:, 0]  # (S, NQ)
+        d = jnp.take_along_axis(d_all, sid[None], axis=0)[0]
         d = jnp.maximum(d, 1e-2)
 
         # world point

@@ -30,13 +30,11 @@ class SLAMState(NamedTuple):
 
     # per-patch buffers (N*M rows)
     patches: jnp.ndarray         # (N*M, 3) [x, y, disp]
-    patches_monodisp: jnp.ndarray  # (N*M,) query-time mono disparity
     patches_valid: jnp.ndarray   # (N*M,)
     colors: jnp.ndarray          # (N*M, 3) uint8
 
     # per-patch local-trajectory buffers (S_local = 2*S_slam - 1)
     local_targets: jnp.ndarray   # (N*M, S_local, 3) [x, y, disp] ("patches_local")
-    local_monodisp: jnp.ndarray  # (N*M, S_local)
     local_vis: jnp.ndarray       # (N*M, S_local)
     local_static: jnp.ndarray    # (N*M, S_local) init ones
     local_weights: jnp.ndarray   # (N*M, S_local)
@@ -72,11 +70,9 @@ def init_state(cfg: Config, ht: int, wd: int) -> SLAMState:
         poses=poses,
         intrinsics=jnp.zeros((N, 4), f32),
         patches=jnp.zeros((N * M, 3), f32),
-        patches_monodisp=jnp.zeros((N * M,), f32),
         patches_valid=jnp.zeros((N * M,), f32),
         colors=jnp.zeros((N * M, 3), jnp.uint8),
         local_targets=jnp.zeros((N * M, S_local, 3), f32),
-        local_monodisp=jnp.zeros((N * M, S_local), f32),
         local_vis=jnp.zeros((N * M, S_local), f32),
         local_static=jnp.ones((N * M, S_local), f32),
         local_weights=jnp.zeros((N * M, S_local), f32),

@@ -103,6 +103,22 @@ class BATrack:
             ),
             donate_argnums=(0,),
         )
+        if (slam.use_keyframe and slam.kf_stride > 1
+                and slam.KEYFRAME_INDEX % slam.kf_stride != 1):
+            # removal candidates k = n - KEYFRAME_INDEX are evaluated only on
+            # append frames (n == 1 mod kf_stride), and _keyframe requires
+            # k == 0 mod kf_stride — both hold only when
+            # KEYFRAME_INDEX == 1 mod kf_stride; otherwise removal silently
+            # never fires. The reference has the identical parity trap
+            # (batrack.py:1002-1031, 1029-1031); warn, don't change behavior.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "use_keyframe with KEYFRAME_INDEX=%d, kf_stride=%d: keyframe "
+                "removal can never trigger (needs KEYFRAME_INDEX == 1 mod "
+                "kf_stride; reference-identical parity constraint)",
+                slam.KEYFRAME_INDEX, slam.kf_stride,
+            )
         if slam.use_keyframe and slam.BA_BACKEND == "slot":
             # frame deletion breaks dense slot addressing; use the flat solver
             import dataclasses
@@ -470,7 +486,15 @@ class BATrack:
         save_path: Optional[str] = None,
     ) -> dict:
         """Results dict with the reference pickle schema (batrack.py:1080-1135)
-        so the dense-refinement stage and visualizers interoperate."""
+        so the dense-refinement stage and visualizers interoperate.
+
+        Reference-faithful caveat: per-frame/per-patch buffers are sliced by
+        global counter C while being positioned by buffer index — under
+        use_keyframe removal (n < counter) rows beyond n are stale and rows
+        are offset from cams_T_world, exactly as in the reference
+        (batrack.py:1091-1103 slices the same buffers by self.counter).
+        use_keyframe is disabled in every shipped config, reference and
+        here alike."""
         C = self.counter
         M, S_local = self.dims.M, self.dims.S_local
 

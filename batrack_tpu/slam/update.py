@@ -35,6 +35,14 @@ def slam_update(
     ii = state.e_kk // M
 
     def ba_pass(poses, patches, weights, structure_only):
+        # The prior disparity is read from the local-trajectory mid slot,
+        # exactly like the reference (batrack.py:866: patches_monodisp =
+        # patches_local[..., (S_local+1)//2-1, 2:]). NOTE this is
+        # deliberately reference-faithful, including its subtlety: for
+        # weighted tracks update_point_cloud overwrites the mid slot with
+        # the BA's own reprojected disparity (batrack.py:846-854 does the
+        # same), so after the first update the alpha-prior anchors to the
+        # previous estimate rather than the tracker/mono measurement.
         prob = BAProblem(
             poses=poses,
             patches=patches,

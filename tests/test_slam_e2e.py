@@ -317,13 +317,16 @@ def test_windowed_point_cloud_matches_full(scene):
     wf = cloud_window_frames(cfg, slam.dims)
     win = update_point_cloud(slam.state, n, slam.dims, window_frames=wf)
     live = slam.n * slam.dims.M
+    # 1e-4, not float-epsilon: the two passes compile to different program
+    # shapes, and threaded CPU reductions can reorder accumulation (observed
+    # a one-off 1e-5 exceedance); a real windowing bug is pixel-scale
     np.testing.assert_allclose(
         np.asarray(full.trajs_world[:live]), np.asarray(win.trajs_world[:live]),
-        atol=1e-5,
+        atol=1e-4,
     )
     np.testing.assert_allclose(
         np.asarray(full.local_targets[:live]),
-        np.asarray(win.local_targets[:live]), atol=1e-5,
+        np.asarray(win.local_targets[:live]), atol=1e-4,
     )
 
 
