@@ -81,7 +81,8 @@ def build_stream(cfg):
     if d.traj_format == "davis":
         return davis_stream(d.imagedir, d.depthdir, d.calib, d.stride, d.skip, d.end)
     return dataset_rgbd_stream(
-        d.imagedir, d.depthdir, d.calib, d.stride, d.skip, mode=d.traj_format
+        d.imagedir, d.depthdir, d.calib, d.stride, d.skip, d.end,
+        mode=d.traj_format,
     )
 
 
@@ -197,6 +198,11 @@ def main(argv=None) -> int:
                 jax.profiler.stop_trace()
         pending = item
 
+    if slam is None or nf == 0:
+        raise SystemExit(
+            f"no frames found: check data.imagedir={cfg.data.imagedir!r}, "
+            f"data.depthdir={cfg.data.depthdir!r}, skip/stride/end"
+        )
     if pending is not None:
         slam(*pending)
     if cfg.profile_dir and 21 <= nf < 31:

@@ -86,10 +86,14 @@ def sintel_rgbd_stream(
     imagedir, depthdir, depthdir_gt, calib_root, stride=1, skip=0, end=-1,
     input_intrinsics=False,
 ) -> Iterator[Tuple]:
-    """(stream.py:105-173)."""
-    image_list = _glob_sorted(imagedir, IMG_EXTS)[skip::stride]
-    depth_list = _glob_sorted(depthdir, ["*.npy", "*.npz"])[skip::stride]
-    depth_list_gt = _glob_sorted(depthdir_gt, ["*.dpt"])[skip::stride]
+    """(stream.py:105-173). `end` is honored for every list — the reference
+    applies it only to the Ks (stream.py:124-127) while slicing images
+    [skip::stride], which desynchronizes gt-trajectory truncation from the
+    processed frames; the intent (and the davis stream) bound everything."""
+    stop = None if end == -1 else end
+    image_list = _glob_sorted(imagedir, IMG_EXTS)[skip:stop:stride]
+    depth_list = _glob_sorted(depthdir, ["*.npy", "*.npz"])[skip:stop:stride]
+    depth_list_gt = _glob_sorted(depthdir_gt, ["*.dpt"])[skip:stop:stride]
     assert len(depth_list) == len(image_list)
 
     Ks = None
@@ -123,19 +127,21 @@ def sintel_rgbd_stream(
         depth_gt = _crop16(load_depth_file(depth_list_gt[t], mode="sintel"))
         frame = (t, image, depth, depth_gt, intrinsics)
         yield frame
-    yield (-1,) + frame[1:]
+    if frame is not None:  # no sentinel for an empty stream (clear error upstream)
+        yield (-1,) + frame[1:]
 
 
 def tartanair_rgbd_stream(
     imagedir, depthdir, depthdir_gt, calib_root, stride=1, skip=0, end=-1
 ) -> Iterator[Tuple]:
-    """(stream.py:176-226)."""
+    """(stream.py:176-226); `end` honored (see sintel_rgbd_stream note)."""
     calib = np.loadtxt(calib_root, delimiter=" ")
     intrinsics = np.array(calib[:4])
 
-    image_list = _glob_sorted(imagedir, IMG_EXTS)[skip::stride]
-    depth_list = _glob_sorted(depthdir, ["*.npy", "*.npz"])[skip::stride]
-    depth_list_gt = _glob_sorted(depthdir_gt, ["*.npy"])[skip::stride]
+    stop = None if end == -1 else end
+    image_list = _glob_sorted(imagedir, IMG_EXTS)[skip:stop:stride]
+    depth_list = _glob_sorted(depthdir, ["*.npy", "*.npz"])[skip:stop:stride]
+    depth_list_gt = _glob_sorted(depthdir_gt, ["*.npy"])[skip:stop:stride]
     assert len(depth_list) == len(image_list)
 
     frame = None
@@ -146,7 +152,8 @@ def tartanair_rgbd_stream(
         depth_gt = _crop16(load_depth_file(depth_list_gt[t], mode="tartanair"))
         frame = (timestamp, image, depth, depth_gt, intrinsics)
         yield frame
-    yield (-1,) + frame[1:]
+    if frame is not None:  # no sentinel for an empty stream (clear error upstream)
+        yield (-1,) + frame[1:]
 
 
 def davis_stream(imagedir, depthdir, calib_root, stride=1, skip=0, end=-1):
@@ -169,15 +176,18 @@ def davis_stream(imagedir, depthdir, calib_root, stride=1, skip=0, end=-1):
         depth = _crop16(load_depth_file(depth_list[t]))
         frame = (t, image, depth, depth, intrinsics)
         yield frame
-    yield (-1,) + frame[1:]
+    if frame is not None:  # no sentinel for an empty stream (clear error upstream)
+        yield (-1,) + frame[1:]
 
 
-def dataset_rgbd_stream(imagedir, depthdir, calib, stride=1, skip=0, mode="replica"):
-    """Generic fixed-K stream (stream.py:284-327)."""
+def dataset_rgbd_stream(imagedir, depthdir, calib, stride=1, skip=0, end=-1,
+                        mode="replica"):
+    """Generic fixed-K stream (stream.py:284-327); `end` honored."""
     calib = np.loadtxt(calib, delimiter=" ")
     intrinsics = np.array(calib[:4])
-    image_list = _glob_sorted(imagedir, IMG_EXTS)[skip::stride]
-    depth_list = _glob_sorted(depthdir, ["*.npy"])[skip::stride]
+    stop = None if end == -1 else end
+    image_list = _glob_sorted(imagedir, IMG_EXTS)[skip:stop:stride]
+    depth_list = _glob_sorted(depthdir, ["*.npy"])[skip:stop:stride]
     assert len(depth_list) == len(image_list)
 
     frame = None
@@ -186,7 +196,8 @@ def dataset_rgbd_stream(imagedir, depthdir, calib, stride=1, skip=0, mode="repli
         depth = _crop16(load_depth_file(depth_list[t]))
         frame = (t, image, depth, depth, intrinsics)
         yield frame
-    yield (-1,) + frame[1:]
+    if frame is not None:  # no sentinel for an empty stream (clear error upstream)
+        yield (-1,) + frame[1:]
 
 
 def native_rgbd_stream(
@@ -208,4 +219,5 @@ def native_rgbd_stream(
         frame = (idx, image, d, d, np.asarray(intrinsics_fn(idx)))
         yield frame
     loader.close()
-    yield (-1,) + frame[1:]
+    if frame is not None:  # no sentinel for an empty stream (clear error upstream)
+        yield (-1,) + frame[1:]

@@ -133,16 +133,26 @@ def so3_exp(phi: jnp.ndarray) -> jnp.ndarray:
 
 
 def so3_log(q: jnp.ndarray) -> jnp.ndarray:
-    """Unit quaternion -> axis-angle 3-vector (matches lietorch convention)."""
+    """Unit quaternion -> axis-angle 3-vector (matches lietorch convention).
+
+    ATAN-based (so3.h:115-151, Hertzberg et al. via Sophus), NOT atan2: with
+    2*atan(n/w)/n the result is hemisphere-invariant (log(-q) == log(q),
+    always the short rotation, |angle| <= pi). An atan2 formulation returns
+    the ~2pi representation for w < 0, which is discontinuous against the
+    Taylor branch and explodes downstream Jinv terms (sin(theta/2) ~ 0)."""
     qv = q[..., :3]
     w = q[..., 3:4]
     n_sq = jnp.sum(qv * qv, axis=-1, keepdims=True)
     small = n_sq < _EPS
     n = jnp.sqrt(jnp.where(small, 1.0, n_sq))
-    # 2*atan2(n, w)/n ; Taylor (w>0 branch): 2/w - 2 n^2/(3 w^3)
     w_safe = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
-    k = jnp.where(small, 2.0 / w_safe - 2.0 * n_sq / (3.0 * w_safe**3),
-                  2.0 * jnp.arctan2(n, w) / n)
+    k_big = jnp.where(
+        jnp.abs(w) < 1e-12,
+        jnp.where(w >= 0, jnp.pi, -jnp.pi) / n,
+        2.0 * jnp.arctan(n / w_safe) / n,
+    )
+    # Taylor: 2/w - 2 n^2/(3 w^3) (valid for either sign of w)
+    k = jnp.where(small, 2.0 / w_safe - 2.0 * n_sq / (3.0 * w_safe**3), k_big)
     return k * qv
 
 

@@ -98,10 +98,14 @@ def _sim3_W(phi, sigma):
     a_sig0 = jnp.where(small_t, 0.5 - theta_sq / 24.0, (1.0 - cos_t) / jnp.maximum(theta_sq, 1e-24))
     b_sig0 = jnp.where(small_t, 1.0 / 6.0 - theta_sq / 120.0,
                        (theta - sin_t) / jnp.maximum(theta_sq * theta, 1e-24))
-    # theta == 0, sigma != 0 limits:
+    # theta == 0, sigma != 0 limits. The small_s guards are never the
+    # selected output (the outer where picks a_sig0/b_sig0 there) but must
+    # still be the CORRECT series so a future where-chain refactor cannot
+    # silently go wrong: ((sig-1)e^s+1)/sig^2 = 1/2 + sig/3 + O(sig^2),
+    # (e^s(sig^2/2-sig+1)-1)/sig^3 = 1/6 + sig/8 + O(sig^2).
     sig_safe = jnp.where(small_s, 1.0, sig)
-    a_th0 = jnp.where(small_s, 0.5 + sig / 6.0, ((sig - 1.0) * s + 1.0) / (sig_safe * sig_safe))
-    b_th0 = jnp.where(small_s, 1.0 / 6.0 + sig / 24.0,
+    a_th0 = jnp.where(small_s, 0.5 + sig / 3.0, ((sig - 1.0) * s + 1.0) / (sig_safe * sig_safe))
+    b_th0 = jnp.where(small_s, 1.0 / 6.0 + sig / 8.0,
                       (s * (0.5 * sig * sig - sig + 1.0) - 1.0) / (sig_safe ** 3))
 
     A = jnp.where(small_s, a_sig0, jnp.where(small_t, a_th0, a_gen))

@@ -145,6 +145,10 @@ def build_refine_data(results: dict, align_depth: bool = True) -> RefineData:
 
 def init_params(data: RefineData, grid_size: int) -> RefineParams:
     T, N, S = data.trajs_disp.shape
+    # both ones like the reference (refine_net.py:41-42). Note the frame
+    # scales are NOT the identity at init: effective = exp(1/10) ~ 1.105
+    # (trajs_scales ARE identity: mean-centering zeroes them before exp) —
+    # reference-faithful, the optimizer removes the 10% bias
     return RefineParams(
         trajs_scales=jnp.ones((T, N, S), jnp.float32),
         frame_scales=jnp.ones((T, grid_size, grid_size), jnp.float32),
@@ -235,6 +239,9 @@ def spatial_loss(p, data, image_hw) -> jnp.ndarray:
 
     vis = data.trajs_vis > 0.9
     in_range = (data.jj[:, None, :] >= 0) & (data.jj[:, None, :] < T)
+    # reference-faithful quirk: the "flow" gate is the norm of the ABSOLUTE
+    # pixel coordinates (refine_net.py:260 trajs_2d.norm(-1) > 5), not of a
+    # displacement — it only drops points within 5 px of the image origin
     flow = jnp.linalg.norm(data.trajs_2d, axis=-1) > 5.0
     disp_ok = data.trajs_disp > 1e-2
     mask = (vis & in_range & flow & disp_ok).astype(jnp.float32)
@@ -255,7 +262,7 @@ def inter_frame_loss(p, data, image_hw) -> jnp.ndarray:
     intr = data.intrinsics
 
     def per_frame(args):
-        jj_t, xy_t, disp_t, vis_t, st_t, mono_t = args
+        jj_t, xy_t, raw_mono_t, vis_t, st_t, mono_t = args
         jj_c = jnp.clip(jj_t, 0, T - 1)
         intr_t = jnp.take(intr, jj_c, axis=0)           # (S, 4)
         pts = _iproj3(
@@ -266,7 +273,11 @@ def inter_frame_loss(p, data, image_hw) -> jnp.ndarray:
         t_ok = ((jj_t >= 0) & (jj_t < T)).astype(jnp.float32)[:, None, None]
         vis_m = jnp.moveaxis(vis_t, 0, 1)               # (S, N)
         st_m = jnp.moveaxis(st_t, 0, 1)
-        disp_m = (jnp.moveaxis(mono_t, 0, 1) > 1e-2).astype(jnp.float32)
+        # the disparity mask comes from the RAW mono disparity, fixed at
+        # init like the reference's precomputed trajs_disp_mono_mask_mat
+        # (refine_net.py:116,216) — NOT the frame-scaled value, whose mask
+        # would shift as the optimized scales move
+        disp_m = (jnp.moveaxis(raw_mono_t, 0, 1) > 1e-2).astype(jnp.float32)
         pair = (
             (vis_m[:, :, None] * vis_m[:, None, :] > 0.5)
             & (st_m[:, :, None] * st_m[:, None, :] > 0.5)
@@ -276,7 +287,7 @@ def inter_frame_loss(p, data, image_hw) -> jnp.ndarray:
 
     vals = jax.lax.map(
         per_frame,
-        (data.jj, data.trajs_2d, data.trajs_disp, data.trajs_vis,
+        (data.jj, data.trajs_2d, data.trajs_disp_mono, data.trajs_vis,
          data.trajs_static, mono_scaled),
     )
     q = data.query_frame_mask
@@ -286,7 +297,11 @@ def inter_frame_loss(p, data, image_hw) -> jnp.ndarray:
 
 
 def inter_frame_loss_local(p, data, image_hw) -> jnp.ndarray:
-    """Rigidity on track-scaled tracked disparity (refine_net.py:224-250)."""
+    """Rigidity on track-scaled tracked disparity (refine_net.py:224-250).
+
+    Deliberately NOT part of total_loss: the reference defines this method
+    but never calls it in forward() (refine_net.py:252-292) — kept available
+    with the same status."""
     scaled = effective_trajs_scales(p) * data.trajs_disp
     data_local = data._replace(trajs_disp_mono=scaled)
     # identical machinery with the scaled tracked disparity in place of the

@@ -308,6 +308,16 @@ class UpdateFormer(nn.Module):
         x = nn.Dense(self.hidden_size, name="input_transform", dtype=self.dtype)(x)
 
         j = 0
+        if self.add_space_attn and (
+                self.space_depth > self.time_depth
+                or self.time_depth % self.space_depth):
+            # interval = time//space would be 0 (ZeroDivision below) or
+            # non-integral (instantiating more space blocks than
+            # space_depth, diverging from the converter's param tree)
+            raise ValueError(
+                f"space_depth ({self.space_depth}) must divide time_depth "
+                f"({self.time_depth}) when add_space_attn is on"
+            )
         interval = self.time_depth // self.space_depth if self.add_space_attn else 0
         for i in range(self.time_depth):
             xt = x.reshape(B * N, T, self.hidden_size)

@@ -70,9 +70,10 @@ def convert_state_dict(
     space_depth_dyn: int = 3,
 ) -> dict:
     """torch state_dict (tensors or arrays) -> flax params dict."""
+    if "model" in sd and not hasattr(sd["model"], "shape"):
+        sd = sd["model"]  # unwrap BEFORE converting values (a nested dict
+        # through _to_np becomes a 0-d object array and breaks everything)
     sd = {k.replace("module.", ""): _to_np(v) for k, v in sd.items()}
-    if "model" in sd:
-        sd = sd["model"]
 
     fnet = {
         "conv1": {"kernel": _conv(sd["fnet.conv1.weight"]),

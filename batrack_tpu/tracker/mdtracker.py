@@ -214,8 +214,9 @@ class MDTracker(nn.Module):
         coords_init: jnp.ndarray,  # (S, N, 3) grid units (xy/stride, depth DnG)
         coords_dyn_init: jnp.ndarray,
         feat_init: jnp.ndarray,    # (S, N, C)
-        vis_init: jnp.ndarray,     # (S, N)
         concat: jnp.ndarray,       # (N, S, 2) pre-scrambled mask/vis channels
+        # (visibility logits enter only through `concat`, pre-scrambled by
+        # the caller — md_tracker.py:248-258)
         d_near: jnp.ndarray,
         d_far: jnp.ndarray,
         Dz: float,
@@ -492,7 +493,7 @@ class MDTracker(nn.Module):
 
             (coord_p, depth_p, static_p, vis_p, dyn_logit, coords_fin, coords_dyn_fin,
              iter_preds) = self.forward_iteration(
-                fmaps, coords_init, coords_dyn_init, feat_init, vis_init,
+                fmaps, coords_init, coords_dyn_init, feat_init,
                 concat, d_near, d_far, Dz, key_mask,
             )
             if train:

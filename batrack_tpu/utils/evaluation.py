@@ -111,14 +111,19 @@ def eval_metrics(
         return float("nan"), float("nan"), float("nan")
     gt, gt_t = gt_traj
 
-    # associate by index if equal length, else by timestamp
+    # associate by index if equal length, else by NEAREST timestamp (the
+    # evo convention; a plain searchsorted picks the next stamp >= and
+    # systematically matches one frame late past each interval midpoint)
     pred = np.asarray(pred)
     gt = np.asarray(gt)
     if len(pred) != len(gt):
         gt_t = np.asarray(gt_t).reshape(-1)
         pred_t = np.asarray(pred_t).reshape(-1)
-        idx = np.searchsorted(gt_t, pred_t)
-        idx = np.clip(idx, 0, len(gt) - 1)
+        hi = np.clip(np.searchsorted(gt_t, pred_t), 0, len(gt) - 1)
+        lo = np.maximum(hi - 1, 0)
+        idx = np.where(
+            np.abs(gt_t[hi] - pred_t) < np.abs(gt_t[lo] - pred_t), hi, lo
+        )
         gt = gt[idx]
 
     ate = ate_rmse(pred, gt)

@@ -14,17 +14,10 @@ from typing import Tuple
 import numpy as np
 from scipy.spatial.transform import Rotation
 
-TAG_FLOAT = 202021.25
-
-
-def sintel_cam_read(filename: str) -> Tuple[np.ndarray, np.ndarray]:
-    """Sintel .cam binary: returns (K (3,3), extrinsic (3,4) world-to-cam)."""
-    with open(filename, "rb") as f:
-        check = np.fromfile(f, dtype=np.float32, count=1)[0]
-        assert check == TAG_FLOAT, f"bad .cam tag {check}"
-        M = np.fromfile(f, dtype="float64", count=9).reshape((3, 3))
-        N = np.fromfile(f, dtype="float64", count=12).reshape((3, 4))
-    return M, N
+# single .cam binary reader shared with the streaming path (one format,
+# one implementation; the native loader's C++ read_cam is parity-tested
+# against it in tests/test_data_config.py)
+from batrack_tpu.data.streams import cam_read_sintel as sintel_cam_read  # noqa: E402
 
 
 def load_sintel_traj(gt_dir: str) -> Tuple[np.ndarray, np.ndarray]:

@@ -131,8 +131,10 @@ def generate_point_cloud(img, depth, intrinsics, cam_T_world, stride: int = 4):
     x = (u.reshape(-1) - cx) / fx * d
     y = (v.reshape(-1) - cy) / fy * d
     pts_cam = np.stack([x, y, d, np.ones_like(d)], -1)[ok]
-    c2w = np.linalg.inv(cam_T_world) if cam_T_world.shape == (4, 4) else cam_T_world
-    pts = (c2w @ pts_cam.T).T[:, :3]
+    # results['cams_T_world'] already stores camera-to-world matrices
+    # (system.py get_results: matrix(inv(w2c)); the reference applies them
+    # directly, rerun_visualizer.py:75 `pts = pose @ pts`) — do NOT invert
+    pts = (cam_T_world @ pts_cam.T).T[:, :3]
     colors = img[::stride, ::stride].reshape(-1, 3)[ok]
     return pts, colors
 
@@ -160,7 +162,10 @@ def vis_rerun(results: dict, stride: int = 4, app_name: str = "batrack_tpu") -> 
     for t in range(len(rgbs)):
         rr.set_time_sequence("frame", t)
         fx, fy, cx, cy = intr[t]
-        c2w = np.linalg.inv(cams[t])
+        # cams_T_world rows are already camera-to-world (see
+        # generate_point_cloud; reference rerun_visualizer.py:201 uses them
+        # directly as the camera transform)
+        c2w = cams[t]
         rr.log(
             "world/camera",
             rr.Transform3D(translation=c2w[:3, 3], mat3x3=c2w[:3, :3]),

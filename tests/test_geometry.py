@@ -65,7 +65,12 @@ class TestSO3:
 
 class TestSE3:
     def test_exp_log_inverse(self, rng):
-        xi = jnp.asarray(rng.normal(size=(64, 6)), jnp.float32)
+        # log o exp == id only on |phi| < pi: log is the atan-based SHORT
+        # rotation (so3.h:115-151), so clamp the rotation part's norm
+        xi = rng.normal(size=(64, 6)).astype(np.float32)
+        nrm = np.linalg.norm(xi[:, 3:], axis=-1, keepdims=True)
+        xi[:, 3:] *= np.minimum(1.0, 3.0 / np.maximum(nrm, 1e-9))
+        xi = jnp.asarray(xi)
         np.testing.assert_allclose(se3.log(se3.exp(xi)), xi, atol=1e-4)
 
     def test_exp_log_small(self, rng):
@@ -208,3 +213,46 @@ class TestQuaternion:
             quat.quat_to_matrix(q1) @ quat.quat_to_matrix(q2),
             atol=1e-5,
         )
+
+
+def test_so3_log_hemisphere_invariant(rng):
+    """log(q) == log(-q) (atan-based convention, so3.h:115-151): the
+    returned rotation is always the short one, with no ~2pi blowup for
+    w < 0 quaternions near the identity."""
+    import jax.numpy as jnp
+
+    from batrack_tpu.geometry.quaternion import so3_log
+
+    qs = rng.normal(size=(200, 4)).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=-1, keepdims=True)
+    a = np.asarray(so3_log(jnp.asarray(qs)))
+    b = np.asarray(so3_log(jnp.asarray(-qs)))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    # the old atan2 blowup case: tiny rotation stored with w ~ -1
+    q = jnp.asarray([2e-3, 0.0, 0.0, -np.sqrt(1.0 - 4e-6)], jnp.float32)
+    assert float(jnp.linalg.norm(so3_log(q))) < 0.01
+
+
+def test_se3_left_jacobian_finite_difference(rng):
+    """Barfoot Q block: exp(xi + d) ~ exp(Jl d) exp(xi) to FD accuracy
+    (the Q sign bug was invisible to Jl @ Jl_inv == I, where Q cancels)."""
+    import jax
+    import jax.numpy as jnp
+
+    from batrack_tpu.geometry import se3
+
+    with jax.enable_x64(True):
+        for scale in (0.3, 1.5):
+            xi = jnp.asarray(rng.normal(size=6) * scale, jnp.float64)
+            Jl = np.asarray(se3.left_jacobian(xi))
+            eps = 1e-7
+            fd = np.zeros((6, 6))
+            for i in range(6):
+                d = np.zeros(6)
+                d[i] = eps
+                delta = se3.log(
+                    se3.mul(se3.exp(xi + jnp.asarray(d)),
+                            se3.inv(se3.exp(xi)))
+                )
+                fd[:, i] = np.asarray(delta) / eps
+            np.testing.assert_allclose(Jl, fd, atol=1e-5)
