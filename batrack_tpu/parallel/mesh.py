@@ -34,11 +34,12 @@ def get_mesh(
     devs = np.asarray(devices[:n])
     if len(axis_names) == 1:
         return Mesh(devs, axis_names)
-    # split n into a 2D grid biased toward the first axis
+    # split n into a 2D grid biased toward the first axis (the dominant
+    # one by this module's convention): it gets the LARGER factor
     a = int(np.floor(np.sqrt(n)))
     while n % a:
         a -= 1
-    return Mesh(devs.reshape(a, n // a), axis_names)
+    return Mesh(devs.reshape(n // a, a), axis_names)
 
 
 def init_distributed(

@@ -55,7 +55,10 @@ def _ensure_devices():
             n = int(r.stdout.strip().splitlines()[-1])
     except Exception:
         n = 0
-    if n >= 8:
+    if n >= 2:
+        # 2+ real devices: measure REAL multi-chip scaling (counts are
+        # filtered to the visible device count); only a single-device or
+        # unreachable backend falls back to the virtual CPU mesh
         return
     os.environ["PALLAS_AXON_POOL_IPS"] = ""
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -91,26 +94,9 @@ def main() -> int:
     s.PATCH_GEN = "grid_grad_20"
     s.BA_EP = 0.4  # damping scaled to the reduced focal length
 
-    ts = np.arange(T, dtype=np.float32)
-    xi = np.stack(
-        [0.05 * ts, 0.02 * np.sin(ts * 0.3), 0.01 * ts,
-         0.004 * np.sin(ts * 0.2), 0.006 * np.cos(ts * 0.25) - 0.006, 0 * ts],
-        -1,
-    )
-    poses_gt = np.asarray(se3.exp(jnp.asarray(xi)), np.float32)
-    u, v = np.meshgrid(np.arange(WD), np.arange(HT))
-    dirc = np.stack(
-        [(u - INTR[2]) / INTR[0], (v - INTR[3]) / INTR[1],
-         np.ones_like(u, np.float32)], -1,
-    )
-    depths = []
-    for p in poses_gt:
-        c2w = np.asarray(se3.inv(jnp.asarray(p)))
-        R = np.asarray(se3.matrix(jnp.asarray(c2w)))[:3, :3]
-        depths.append(((6.0 - c2w[2]) / (dirc @ R.T)[..., 2]).astype(np.float32))
-    depths = np.stack(depths)
-    rng = np.random.default_rng(0)
-    images = rng.uniform(0, 255, (T, HT, WD, 3)).astype(np.float32)
+    from bench import make_scene  # single scene definition for all benches
+
+    images, depths, poses_gt = make_scene(T, HT, WD, INTR, se3, jnp)
 
     def run(n_dev):
         mesh = get_mesh(n_dev, ("patch",)) if n_dev > 1 else None
@@ -181,16 +167,22 @@ def main() -> int:
                     out, NamedSharding(mesh, P(None, "track", None)))
 
             fn = jax.jit(fwd)
-        fn(params, window, queries).block_until_ready()  # compile + warm
+        out = fn(params, window, queries)
+        float(out[0, 0, 0])  # compile + warm; a scalar fetch actually
+        # flushes execution (block_until_ready returns early on the
+        # tunneled TPU backend)
         reps, t0 = 2, time.time()
         for _ in range(reps):
             out = fn(params, window, queries)
-        out.block_until_ready()
+        float(out[0, 0, 0])
         return (time.time() - t0) / reps
 
-    sec = {str(n): round(timed_forward(n), 3) for n in counts}
+    sec_raw = {n: timed_forward(n) for n in counts}
+    sec = {str(n): round(v, 3) for n, v in sec_raw.items()}
+    # overhead from UNROUNDED times (a sub-ms baseline rounded to 3 decimals
+    # would divide by zero)
     t_overhead = {
-        str(n): round(sec[str(n)] / sec["1"] - 1.0, 3)
+        str(n): round(sec_raw[n] / sec_raw[1] - 1.0, 3)
         for n in counts if n > 1
     }
     result = {

@@ -13,6 +13,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <csetjmp>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -42,7 +43,12 @@ bool read_png_rgb(const char* path, Image* out) {
   if (!f) return false;
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
-  png_infop info = png_create_info_struct(png);
+  png_infop info = png ? png_create_info_struct(png) : nullptr;
+  if (!png || !info) {
+    if (png) png_destroy_read_struct(&png, info ? &info : nullptr, nullptr);
+    fclose(f);
+    return false;
+  }
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     fclose(f);
@@ -71,12 +77,30 @@ bool read_png_rgb(const char* path, Image* out) {
   return true;
 }
 
+// libjpeg's DEFAULT error manager calls exit() on any decode error; route
+// errors through longjmp so a corrupt frame returns false instead of
+// killing the whole SLAM process.
+struct JpegErr {
+  jpeg_error_mgr pub;
+  jmp_buf jmp;
+};
+
+void jpeg_error_longjmp(j_common_ptr cinfo) {
+  longjmp(reinterpret_cast<JpegErr*>(cinfo->err)->jmp, 1);
+}
+
 bool read_jpeg_rgb(const char* path, Image* out) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
   jpeg_decompress_struct cinfo;
-  jpeg_error_mgr jerr;
-  cinfo.err = jpeg_std_error(&jerr);
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_longjmp;
+  if (setjmp(jerr.jmp)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return false;
+  }
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
@@ -116,6 +140,12 @@ bool read_dpt(const char* path, std::vector<float>* out, int* H, int* W) {
   int32_t w, h;
   if (fread(&tag, 4, 1, f) != 1 || tag != kSintelTag ||
       fread(&w, 4, 1, f) != 1 || fread(&h, 4, 1, f) != 1) {
+    fclose(f);
+    return false;
+  }
+  // validate header dims: a corrupt file must return false, not throw
+  // bad_alloc across the worker thread / C ABI
+  if (h <= 0 || w <= 0 || int64_t(h) * w > (int64_t(1) << 28)) {
     fclose(f);
     return false;
   }
@@ -166,6 +196,10 @@ bool read_npy_f32(const char* path, std::vector<float>* out,
   }
   auto lp = header.find('(');
   auto rp = header.find(')', lp);
+  if (lp == std::string::npos || rp == std::string::npos) {
+    fclose(f);
+    return false;
+  }
   shape->clear();
   size_t total = 1;
   std::string dims = header.substr(lp + 1, rp - lp - 1);
@@ -175,9 +209,14 @@ bool read_npy_f32(const char* path, std::vector<float>* out,
     if (!isdigit(*p)) break;
     int v = strtol(p, &p, 10);
     shape->push_back(v);
-    total *= v;
+    total *= size_t(v);
   }
   if (shape->empty()) { shape->push_back(1); }
+  // corrupt header dims must fail cleanly, not bad_alloc across the C ABI
+  if (total == 0 || total > (size_t(1) << 28)) {
+    fclose(f);
+    return false;
+  }
   out->resize(total);
   bool ok;
   if (f8) {
@@ -220,7 +259,14 @@ struct Loader {
     Image img;
     if (!read_image_rgb(image_paths[idx], &img)) return false;
     int ch = img.h - img.h % 16, cw = img.w - img.w % 16;
-    if (H == 0) { H = ch; W = cw; }
+    if (H == 0) {
+      // dims are pinned ONLY by the synchronous frame-0 load in start();
+      // if that failed, H stays 0 — fail every frame instead of letting
+      // worker threads race an unsynchronized H/W read-modify-write
+      if (idx != 0) return false;
+      H = ch;
+      W = cw;
+    }
     if (ch != H || cw != W) return false;
 
     fr->image.resize(size_t(H) * W * 3);
@@ -256,7 +302,11 @@ struct Loader {
       if (idx >= (int)image_paths.size()) return;
       Frame fr;
       fr.idx = idx;
-      fr.ok = load_frame(idx, &fr);
+      try {
+        fr.ok = load_frame(idx, &fr);
+      } catch (...) {
+        fr.ok = false;  // never let an exception escape the worker thread
+      }
       std::unique_lock<std::mutex> lk(mu);
       cv_space.wait(lk, [&] {
         return stop.load() || (int)ready.size() < queue_cap ||
@@ -272,7 +322,11 @@ struct Loader {
     // frame 0 synchronously to pin dimensions
     Frame f0;
     f0.idx = 0;
-    f0.ok = load_frame(0, &f0);
+    try {
+      f0.ok = load_frame(0, &f0);
+    } catch (...) {
+      f0.ok = false;
+    }
     {
       std::lock_guard<std::mutex> lk(mu);
       ready.emplace(0, std::move(f0));
@@ -337,11 +391,17 @@ int btk_loader_next(void* h, uint8_t* img_out, float* depth_out) {
 
 void btk_loader_destroy(void* h) { delete static_cast<Loader*>(h); }
 
+// every entry below catches everything: a C++ exception crossing the C ABI
+// into ctypes is undefined behavior
 int btk_read_dpt(const char* path, float* out, int* H, int* W) {
-  std::vector<float> d;
-  if (!read_dpt(path, &d, H, W)) return -1;
-  if (out) memcpy(out, d.data(), d.size() * 4);
-  return 0;
+  try {
+    std::vector<float> d;
+    if (!read_dpt(path, &d, H, W)) return -1;
+    if (out) memcpy(out, d.data(), d.size() * 4);
+    return 0;
+  } catch (...) {
+    return -1;
+  }
 }
 
 int btk_read_cam(const char* path, double* K9, double* E12) {
@@ -349,22 +409,30 @@ int btk_read_cam(const char* path, double* K9, double* E12) {
 }
 
 int btk_read_npy_f32(const char* path, float* out, int* shape, int* ndim) {
-  std::vector<float> d;
-  std::vector<int> sh;
-  if (!read_npy_f32(path, &d, &sh)) return -1;
-  *ndim = (int)sh.size();
-  for (size_t i = 0; i < sh.size() && i < 8; ++i) shape[i] = sh[i];
-  if (out) memcpy(out, d.data(), d.size() * 4);
-  return 0;
+  try {
+    std::vector<float> d;
+    std::vector<int> sh;
+    if (!read_npy_f32(path, &d, &sh)) return -1;
+    *ndim = (int)sh.size();
+    for (size_t i = 0; i < sh.size() && i < 8; ++i) shape[i] = sh[i];
+    if (out) memcpy(out, d.data(), d.size() * 4);
+    return 0;
+  } catch (...) {
+    return -1;
+  }
 }
 
 int btk_read_image(const char* path, uint8_t* out, int* H, int* W) {
-  Image img;
-  if (!read_image_rgb(path, &img)) return -1;
-  *H = img.h;
-  *W = img.w;
-  if (out) memcpy(out, img.data.data(), img.data.size());
-  return 0;
+  try {
+    Image img;
+    if (!read_image_rgb(path, &img)) return -1;
+    *H = img.h;
+    *W = img.w;
+    if (out) memcpy(out, img.data.data(), img.data.size());
+    return 0;
+  } catch (...) {
+    return -1;
+  }
 }
 
 }  // extern "C"
