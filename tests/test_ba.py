@@ -135,8 +135,8 @@ def test_invalid_edges_are_ignored(rng):
     # corrupt half the targets but mark those edges invalid
     E = prob.targets.shape[0]
     bad = jnp.arange(E) % 2 == 0
-    targets_bad = jnp.where(bad[:, None], prob.targets + 500.0, prob.targets)
-    # note: +500 px also trips the flow<250 gate; use a subtler corruption
+    # +30 px, not more: a huge corruption would also trip the flow<250 gate
+    # and the test would pass for the wrong reason
     targets_bad = jnp.where(bad[:, None], prob.targets + 30.0, prob.targets)
     prob_bad = prob._replace(targets=targets_bad, valid=prob.valid * (1.0 - bad))
 

@@ -114,10 +114,7 @@ def test_depth_alignment_recovers_scale_shift(rng):
 
 def test_refine_cli_roundtrip(tmp_path, rng):
     """run_refine CLI end-to-end over a fixture results.pkl."""
-    import sys
-
-    sys.path.insert(0, "tests")
-    from test_refine import make_results, T
+    from test_refine import T, make_results  # pytest puts tests/ on sys.path
 
     scene = tmp_path / "scene_a"
     scene.mkdir()

@@ -98,6 +98,20 @@ def test_golden_pipeline(tmp_path):
 
 if __name__ == "__main__":
     if "--regen" in sys.argv:
+        # regenerate under the SAME environment the pytest run compares in
+        # (the virtual 8-device CPU mesh): a fixture generated on another
+        # backend drifts past the 1e-3 pins through the chaotic pipeline
+        if os.environ.get("_BATRACK_TPU_TEST_REEXEC") != "1":
+            env = dict(os.environ)
+            env["_BATRACK_TPU_TEST_REEXEC"] = "1"
+            env["PALLAS_AXON_POOL_IPS"] = ""
+            env["JAX_PLATFORMS"] = "cpu"
+            flags = env.get("XLA_FLAGS", "")
+            if "xla_force_host_platform_device_count" not in flags:
+                env["XLA_FLAGS"] = (
+                    flags + " --xla_force_host_platform_device_count=8"
+                ).strip()
+            os.execve(sys.executable, [sys.executable] + sys.argv, env)
         sys.path.insert(0, os.path.dirname(__file__))
         _generate(FIXTURE)
     else:

@@ -93,6 +93,9 @@ print(f"proc {pid}: multihost slot BA ok, |dpose| = {d:.2e}", flush=True)
 
 @pytest.mark.slow
 def test_two_process_host_chip_mesh(tmp_path):
+    # bind-then-release has a TOCTOU window (another process could grab the
+    # port before the workers do) — acceptable in this single-user
+    # container; a shared-CI setup should retry on coordinator bind failure
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
@@ -116,9 +119,17 @@ def test_two_process_host_chip_mesh(tmp_path):
         for pid in range(2)
     ]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=420)
-        outs.append(out.decode())
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out.decode())
+    finally:
+        # a hung distributed init must not leak workers holding the
+        # coordinator port into later tests/sessions
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
         assert "multihost slot BA ok" in out

@@ -106,5 +106,8 @@ def test_pose_refinement_moves_poses(rng):
                        cam_smooth_vec_loss=1.0)
     params = init_params(data, cfg.grid_size)
     params, _ = global_alignment_loop(params, data, (H, W), cfg)
-    # pose gradients exist (pts_3d + smooth losses touch them)
-    assert np.isfinite(np.asarray(params.pose_delta)).all()
+    # pose gradients exist AND actually moved the poses (all-zeros would
+    # mean pose refinement silently did not run)
+    pd = np.asarray(params.pose_delta)
+    assert np.isfinite(pd).all()
+    assert np.abs(pd).max() > 0.0

@@ -221,7 +221,7 @@ class TestCheckpointResume:
 
 
 class TestVisualizerFeed:
-    def test_static_payload_present(self, scene):
+    def test_static_payload_present(self, scene, tmp_path):
         """The visualizer feed must carry the static/dynamic split
         (slam_visualizer.py:165-188 renders green/red from it)."""
         from batrack_tpu.utils.visualizer import TrackVisualizer
@@ -231,7 +231,7 @@ class TestVisualizerFeed:
         dims = StaticDims.from_config(cfg, HT, WD)
         slam = BATrack(cfg, HT, WD, seed=0)
         slam.tracker = OracleTracker(poses_gt, INTR, dims, noise=0.0)
-        slam.visualizer = TrackVisualizer(save_dir="/tmp/viz_test")
+        slam.visualizer = TrackVisualizer(save_dir=str(tmp_path))
         for t in range(10):
             slam(t, images[t], depths[t], INTR)
         assert slam.visualizer.tracks
@@ -246,10 +246,10 @@ class TestVisualizerFeed:
         assert live.any()
         assert last["static"][live].mean() > 0.9
 
-    def test_draw_with_static(self, scene):
+    def test_draw_with_static(self, scene, tmp_path):
         from batrack_tpu.utils.visualizer import TrackVisualizer
 
-        viz = TrackVisualizer(save_dir="/tmp/viz_test")
+        viz = TrackVisualizer(save_dir=str(tmp_path))
         for _ in range(4):
             viz.add_frame(np.zeros((HT, WD, 3), np.uint8))
         targets = np.tile(
@@ -302,13 +302,7 @@ class TestSiftPatchGen:
 def test_windowed_point_cloud_matches_full(scene):
     """The windowed per-frame point-cloud pass equals the full-buffer pass:
     rows leave the window already holding their final values."""
-    import functools
-
-    import jax
-
-    from batrack_tpu.slam.update import update_point_cloud
-
-    from batrack_tpu.slam.update import cloud_window_frames
+    from batrack_tpu.slam.update import cloud_window_frames, update_point_cloud
 
     slam = run_slam(scene)
     n = jnp.asarray(slam.n, jnp.int32)

@@ -130,9 +130,7 @@ def test_basic_encoder_parity(rng):
     with torch.no_grad():
         ref = tmod(torch.from_numpy(x)).numpy()
 
-    sd = {k.replace("layer", "layer").replace(".0.", ".0."): v
-          for k, v in fnet_state_dict(tmod).items()}
-    # map Sequential indices: layer1.0 -> layer1.0 (converter handles names)
+    sd = fnet_state_dict(tmod)  # converter handles the Sequential names
     full = convert_state_dict(_fill_missing(sd))
     params = {"params": full["params"]["fnet"]}
     enc = BasicEncoder(output_dim=128, stride=4)

@@ -270,7 +270,6 @@ class TestReferenceNetParity:
         T = 8
         written = np.zeros((T, len(first)), bool)
         ind = 0
-        prev_cnt = 0
         order = np.argsort(first, kind="stable")
         sorted_first = np.asarray(first)[order]
         while ind < T - S_WIN // 2:
@@ -279,7 +278,6 @@ class TestReferenceNetParity:
                 cols = order[:cnt]
                 written[ind:ind + S_WIN, cols] = True
             ind += S_WIN // 2
-            prev_cnt = cnt
         ref_w = tuple(r for r in ref)
         env = _envelope(tnet, rgbd, q)
         _assert_close(ours, ref_w, tol_px=5e-3, tol_prob=1e-3,
