@@ -584,12 +584,25 @@ class UniDepthV2(nn.Module):
 
 def _infer_shape(hw: Tuple[int, int],
                  resolution_level: Optional[int] = None):
-    """Shape-constrained network resolution (unidepthv2.py:56-93)."""
+    """Shape-constrained network resolution (unidepthv2.py:56-93).
+
+    The patch count is FORCED to the level's bound regardless of the input
+    size — reference-identical: _get_level_resolution sets pixels_bounds to
+    [bound, bound] (unidepthv2.py:61-66), so clamp(n, bound, bound) == bound.
+    """
     H, W = hw
     lo, hi = PIXELS_BOUNDS
     level = 10 if resolution_level is None else min(max(resolution_level, 0), 10)
     bound = lo + math.ceil((hi - lo) * level / 10)
     ratio = W / H
+    if not (RATIO_BOUNDS[0] <= ratio <= RATIO_BOUNDS[1]):
+        import warnings
+
+        warnings.warn(
+            f"input aspect ratio {ratio:.3f} is outside the training "
+            f"distribution {RATIO_BOUNDS}; metric depth/intrinsics may "
+            f"degrade (unidepthv2.py:33-41)"
+        )
     n = min(max((H / PATCH) * (W / PATCH), bound), bound)
     h = math.ceil(math.sqrt(n / ratio) - 0.5)
     w = math.ceil(h * ratio - 0.5)
