@@ -19,7 +19,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _fused_qkv_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid, heads):
+def _fused_qkv_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale, n_valid,
+                      heads):
     """All-head attention on the PACKED qkv projection output.
 
     q_ref: (1, BQ, C), k_ref/v_ref: (1, N, C) — the q/k/v thirds of the
@@ -50,7 +51,8 @@ def _fused_qkv_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid, heads):
             preferred_element_type=jnp.float32,
         ) * scale                                      # (BQ, N)
         n_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(n_ids < n_valid, logits, -1e30)
+        live = (n_ids < n_valid) & (m_ref[0:1, :] > 0)
+        logits = jnp.where(live, logits, -1e30)
         m = logits.max(axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
         s = p.sum(axis=-1, keepdims=True)
@@ -67,6 +69,7 @@ def fused_qkv_attention(
     scale: float,
     block_q: int = 0,
     interpret: bool = False,
+    key_mask: jnp.ndarray | None = None,  # (N,) bool; False keys excluded
 ) -> jnp.ndarray:
     """Multi-head softmax attention directly on the packed qkv activation.
 
@@ -74,6 +77,11 @@ def fused_qkv_attention(
     projection consumes — so neither the 3-way head split nor the head
     merge ever materializes in HBM. K/V stay VMEM-resident per batch row
     (fine at tracker space-attention sizes: (2432, 384) bf16 = 1.8 MB).
+
+    key_mask excludes inactive tracks from every query's softmax — the
+    masked-shape equivalent of the reference slicing them out
+    (md_tracker.py:617-626); same semantics as the flash path's segment
+    ids (tracker/blocks.py::_tpu_flash_attention).
     """
     B, N, C3 = qkv.shape
     C = C3 // 3
@@ -84,13 +92,24 @@ def fused_qkv_attention(
     assert Np % block_q == 0 and block_q % 8 == 0
     if Np != N:
         qkv = jnp.pad(qkv, ((0, 0), (0, Np - N), (0, 0)))
+    if key_mask is None:
+        mrow = jnp.ones((1, Np), jnp.float32)
+    else:
+        mrow = jnp.pad(key_mask.astype(jnp.float32), (0, Np - N))[None]
 
     grid = (B, Np // block_q)
+    # Double-buffered f32 K/V residency at the production shape needs ~19 MB
+    # of VMEM — over Mosaic's default 16 MB *scoped* limit but well inside
+    # the chip's 128 MB. Raise the scoped cap (hardware OOM observed
+    # 2026-08-18: "exceeded scoped vmem limit by 32.0K" at (12, 2432, 1152)).
     out = pl.pallas_call(
         functools.partial(
             _fused_qkv_kernel, scale=scale, n_valid=N, heads=heads
         ),
         grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         in_specs=[
             pl.BlockSpec((1, block_q, C), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
@@ -98,12 +117,14 @@ def fused_qkv_attention(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Np, C), lambda b, i: (b, 0, 2),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Np), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, C), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Np, C), qkv.dtype),
         interpret=interpret,
-    )(qkv, qkv, qkv)
+    )(qkv, qkv, qkv, mrow)
     return out[:, :N]
 
 

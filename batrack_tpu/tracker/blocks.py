@@ -222,14 +222,19 @@ class Attention(nn.Module):
         head = C // self.num_heads
         qkv = nn.Dense(3 * C, name="qkv", dtype=self.dtype)(x)
         scale0 = head ** -0.5
-        if (self.use_flash and key_mask is None and N >= self.flash_threshold
+        if (self.use_flash and N >= self.flash_threshold
                 and jax.default_backend() == "tpu"
-                and os.environ.get("BATRACK_TPU_ATTN") == "fused"):
+                and os.environ.get("BATRACK_TPU_ATTN", "fused") == "fused"):
             # packed-qkv kernel: heads are split/merged inside VMEM, so the
             # (B,N,3C)->3x(B,H,N,d) HBM relayout (~20 ms/forward at SLAM
-            # sizes, ROOFLINE.md) never happens
+            # sizes, ROOFLINE.md) never happens; key_mask rides in as a
+            # (1, N) row the kernel folds into its padding mask. Production
+            # default (hardware A/B 2026-08-18: 3.21 vs 4.41 ms/block bf16
+            # vs split+flash, TPU_PARITY.md); BATRACK_TPU_ATTN=flash opts
+            # back into the split+flash path
             from batrack_tpu.ops.pallas_attention import fused_qkv_attention
-            out = fused_qkv_attention(qkv, self.num_heads, scale0)
+            out = fused_qkv_attention(qkv, self.num_heads, scale0,
+                                      key_mask=key_mask)
             return nn.Dense(C, name="proj", dtype=self.dtype)(out)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head)
         q, k, v = jnp.moveaxis(qkv, 2, 0)

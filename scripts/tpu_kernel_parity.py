@@ -19,9 +19,18 @@ def main():
     # ---- se3 sanity
     from batrack_tpu.geometry import se3
 
-    xi = jnp.asarray(rng.normal(size=(256, 6)), jnp.float32)
+    # log returns the principal branch (|angle| <= pi, lietorch convention,
+    # quaternion.py::so3_log) — keep sampled rotation norms inside it, else
+    # the roundtrip "error" is the 2*pi branch gap, not a numerics problem.
+    xi = np.asarray(rng.normal(size=(256, 6)), np.float32)
+    wn = np.linalg.norm(xi[:, 3:], axis=-1, keepdims=True)
+    xi[:, 3:] *= np.minimum(1.0, 3.0 / np.maximum(wn, 1e-9))
+    xi = jnp.asarray(xi)
     r = jax.jit(lambda x: se3.log(se3.exp(x)))(xi)
     print(f"se3 exp/log roundtrip max err: {float(jnp.abs(r - xi).max()):.2e}")
+    g = jax.jit(lambda x: se3.exp(x))(xi)
+    g2 = jax.jit(lambda x: se3.exp(se3.log(x)))(g)
+    print(f"se3 group roundtrip max err:   {float(jnp.abs(g2 - g).max()):.2e}")
 
     # ---- pallas corr kernel vs XLA path (incl. out-of-bounds coords)
     from batrack_tpu.ops.corr import build_pyramid, corr_sample_pyramid
@@ -101,6 +110,13 @@ def main():
         qq, kk, vv = (jnp.moveaxis(a, 1, 2) for a in (qq, kk, vv))
         return jnp.moveaxis(dense(qq, kk, vv), 1, 2).reshape(B, Nq, C)
 
+    def dense_path_masked(x):
+        t = x.reshape(B, Nq, 3, Hh, D)
+        qq, kk, vv = jnp.moveaxis(t, 2, 0)
+        qq, kk, vv = (jnp.moveaxis(a, 1, 2) for a in (qq, kk, vv))
+        return jnp.moveaxis(
+            dense_masked(qq, kk, vv), 1, 2).reshape(B, Nq, C)
+
     fns = {
         "fused_qkv(pallas)": jax.jit(
             lambda x: fused_qkv_attention(x, Hh, scale_a)),
@@ -111,6 +127,14 @@ def main():
     fu_o = fns["fused_qkv(pallas)"](qkv)
     print(f"fused qkv vs dense: abs {float(jnp.abs(fu_o - ref_o).max()):.2e} "
           f"(packed B={B} N={Nq} 3C={3 * C})")
+
+    fu_m = jax.jit(
+        lambda x: fused_qkv_attention(x, Hh, scale_a, key_mask=mask))(qkv)
+    dn_m = jax.jit(
+        lambda x: dense_path_masked(x))(qkv)
+    print(f"masked fused qkv vs masked dense: abs "
+          f"{float(jnp.abs(fu_m - dn_m).max()):.2e} "
+          f"({int(mask.sum())}/{Nq} keys active)")
 
     reps = 30
     for name, fn in fns.items():

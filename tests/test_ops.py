@@ -189,6 +189,20 @@ def test_fused_qkv_attention_matches_dense(rng):
     out = fused_qkv_attention(qkv, H, scale, interpret=True)
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
 
+    # key_mask path: inactive keys excluded from every query's softmax
+    # (the production space-attention call when n_wind > 1 always passes
+    # the active-track mask, mdtracker.py; semantics must match the flash
+    # path's segment ids)
+    mask = rng.uniform(size=N) > 0.3
+    logits_m = np.where(mask[None, None, None, :], logits, -1e30)
+    pm = np.exp(logits_m - logits_m.max(-1, keepdims=True))
+    pm /= pm.sum(-1, keepdims=True)
+    ref_m = np.moveaxis(
+        np.einsum("bhqk,bhkd->bhqd", pm, v), 1, 2).reshape(B, N, C)
+    out_m = fused_qkv_attention(
+        qkv, H, scale, interpret=True, key_mask=jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(out_m), ref_m, atol=2e-5)
+
 
 def test_chunked_attention_key_mask_matches_dense(rng):
     """Masked chunked (online-softmax) attention == masked dense softmax."""
