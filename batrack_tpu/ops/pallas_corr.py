@@ -15,7 +15,8 @@ Mosaic constraints shape the implementation:
     shift is folded into the bilinear blend as a small iota-built selection
     matmul;
   * vector loads/stores at per-track offsets are done in aligned groups of
-    8 tracks (statically unrolled within the group);
+    GROUP tracks (statically unrolled within the group; 32 measured fastest,
+    scripts/corr_ab.py);
   * per-track coordinates are scalars and live in SMEM where dynamic
     indexing is unrestricted.
 
@@ -38,7 +39,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-GROUP = 8
+# static track unroll per serial-loop step: hardware A/B (scripts/corr_ab.py,
+# 2026-08-18, v5e): 8 -> 9.26 ms/pyramid, 16 -> 8.15, 32 -> 7.54 (bit-exact);
+# 32 amortises the scalar address math best without spilling vregs
+GROUP = 32
 
 # fused-group VMEM budget for the padded bf16 feature maps (double-buffered
 # by Mosaic alongside the targets block and the per-level output blocks)
@@ -46,7 +50,7 @@ _FUSE_BUDGET_BYTES = 4 * 1024 * 1024
 
 
 def _corr_kernel_multi(coords_ref, targets_ref, *refs, radius, block_n,
-                       out_dim, dims, scales):
+                       out_dim, dims, scales, group=GROUP):
     """One (frame, track-block) program over `len(dims)` pyramid levels.
 
     refs = fmap_ref per level, then out_ref per level. coords are at the
@@ -117,12 +121,12 @@ def _corr_kernel_multi(coords_ref, targets_ref, *refs, radius, block_n,
         return jnp.pad(out, ((0, 0), (0, out_dim - d)))[None]
 
     def body(g, _):
-        base = pl.multiple_of(g * GROUP, GROUP)
-        tg_full = targets_ref[pl.ds(base, GROUP), :, :]  # (GROUP, S, C)
+        base = pl.multiple_of(g * group, group)
+        tg_full = targets_ref[pl.ds(base, group), :, :]  # (group, S, C)
         tg = jnp.sum(tg_full.astype(jnp.float32) * s_onehot, axis=1)  # (G, C)
 
         rows = [[] for _ in range(L)]
-        for k in range(GROUP):
+        for k in range(group):
             cx0 = coords_ref[0, base + k, 0]
             cy0 = coords_ref[0, base + k, 1]
             for lvl in range(L):
@@ -133,12 +137,12 @@ def _corr_kernel_multi(coords_ref, targets_ref, *refs, radius, block_n,
                 )
 
         for lvl in range(L):
-            out_refs[lvl][pl.ds(base, GROUP), 0, :, :] = jnp.concatenate(
+            out_refs[lvl][pl.ds(base, group), 0, :, :] = jnp.concatenate(
                 rows[lvl], axis=0
             )
         return 0
 
-    jax.lax.fori_loop(0, block_n // GROUP, body, 0)
+    jax.lax.fori_loop(0, block_n // group, body, 0)
 
 
 def _pad_fmap(fmaps, radius):
@@ -164,6 +168,7 @@ def corr_sample_levels_pallas(
     radius: int,
     scales: Sequence[float] = None,     # coord scale per level (default 2^-l)
     block_n: int = 256,
+    group: int = GROUP,                 # static track unroll per loop step
     interpret: bool = False,
 ) -> Sequence[jnp.ndarray]:
     """Fused correlation sampling for a group of pyramid levels.
@@ -198,7 +203,7 @@ def corr_sample_levels_pallas(
     outs = pl.pallas_call(
         functools.partial(
             _corr_kernel_multi, radius=radius, block_n=block_n,
-            out_dim=out_dim, dims=dims, scales=tuple(scales),
+            out_dim=out_dim, dims=dims, scales=tuple(scales), group=group,
         ),
         grid=grid,
         in_specs=[
@@ -259,6 +264,8 @@ def corr_sample_pyramid_pallas(
     targets: jnp.ndarray,            # (N, S, C) — track-major
     coords: jnp.ndarray,             # (S, N, 2) at level-0 resolution
     radius: int,
+    group: int = GROUP,
+    block_n: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """ops.corr.corr_sample_pyramid in the track-major (N, S, LRR) layout.
@@ -291,7 +298,7 @@ def corr_sample_pyramid_pallas(
             corr_sample_levels_pallas(
                 fms, targets, coords / (2.0 ** start), radius,
                 scales=[0.5 ** l for l in range(len(fms))],
-                interpret=interpret,
+                block_n=block_n, group=group, interpret=interpret,
             )
         )
     return jnp.concatenate(outs, axis=-1)

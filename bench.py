@@ -168,10 +168,15 @@ def main() -> int:
     fps = (T - WARMUP_FRAMES) / elapsed
 
     # ---- phase 2: per-stage device times (synced, serialised) -------------
+    # frames are pre-uploaded: passing numpy here would put the tunnel
+    # host->device transfer (~2 MB/frame) inside the first timed stage and
+    # inflate it by an order of magnitude
     slam.timer.enabled = True
     slam.sync_stages = True
     for t in range(PROFILE_FRAMES):
-        slam(T - PROFILE_FRAMES + t + 1000, images[t], depths[t], INTR)
+        img, dep = slam.upload_frame(images[t], depths[t])
+        float(img[0, 0, 0]), float(dep[0, 0])  # force the transfers to land
+        slam(T - PROFILE_FRAMES + t + 1000, img, dep, INTR)
     stage_ms = {
         k: round(v / slam.timer.counts[k] * 1000, 1)
         for k, v in slam.timer.totals.items()

@@ -1,0 +1,77 @@
+"""A/B the corr kernel's track-group unroll + block size on hardware.
+
+The kernel's serial track loop carries fixed per-group overhead (scalar
+address math, loop control); a larger static unroll amortises it at the cost
+of vector-register pressure. Parity vs the GROUP=8 production path is
+asserted before timing.
+
+Usage: timeout 900 python scripts/corr_ab.py
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from batrack_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
+from batrack_tpu.ops import pallas_corr as pc  # noqa: E402
+from batrack_tpu.ops.corr import build_pyramid  # noqa: E402
+
+
+def _flush(x):
+    # tunneled-backend block_until_ready returns early; scalar fetch drains
+    return float(jnp.ravel(jax.tree_util.tree_leaves(x)[0])[0])
+
+
+def timeit(fn, reps=20, warmup=3):
+    for _ in range(warmup):
+        _flush(fn())
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+    _flush(out)
+    return (time.perf_counter() - t0) / reps * 1000.0
+
+
+def main():
+    S, C, H, W, N, r, L = 12, 128, 96, 128, 2400, 3, 4
+    rng = np.random.default_rng(0)
+    fmaps = jnp.asarray(rng.normal(0, 1, (S, C, H, W)), jnp.bfloat16)
+    targets = jnp.asarray(rng.normal(0, 1, (N, S, C)), jnp.bfloat16)
+    coords = jnp.asarray(
+        np.stack([rng.uniform(-4, W + 4, (S, N)),
+                  rng.uniform(-4, H + 4, (S, N))], -1), jnp.float32)
+
+    base = None
+    for group, block_n in [(8, 256), (16, 256), (16, 512), (32, 256), (8, 512)]:
+        def run(group=group, block_n=block_n):
+            pyr = build_pyramid(fmaps, L)
+            return pc.corr_sample_pyramid_pallas(
+                pyr, targets, coords, r, group=group, block_n=block_n)
+
+        f = jax.jit(run)
+        try:
+            out = f(); _flush(out)
+        except Exception as e:
+            print(f"group={group:3d} block_n={block_n:4d}  FAILED: "
+                  f"{type(e).__name__}: {str(e)[:120]}")
+            continue
+        if base is None:
+            base = out
+            err = 0.0
+        else:
+            err = float(jnp.max(jnp.abs(out - base)))
+        ms = timeit(f)
+        print(f"group={group:3d} block_n={block_n:4d}  {ms:7.2f} ms/pyramid  "
+              f"maxdiff={err:.2e}")
+
+
+if __name__ == "__main__":
+    main()
