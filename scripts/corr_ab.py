@@ -50,7 +50,7 @@ def main():
                   rng.uniform(-4, H + 4, (S, N))], -1), jnp.float32)
 
     base = None
-    for group, block_n in [(8, 256), (16, 256), (16, 512), (32, 256), (8, 512)]:
+    for group, block_n in [(8, 256), (16, 256), (32, 256), (64, 256), (32, 128)]:
         def run(group=group, block_n=block_n):
             pyr = build_pyramid(fmaps, L)
             return pc.corr_sample_pyramid_pallas(
