@@ -42,7 +42,7 @@ def build_stream(cfg):
     if d.native_prefetch and d.traj_format not in ("sintel", "tartanair"):
         # native C++ prefetch loader (decode/crop on background threads);
         # yields frames identical to the Python streams
-        # (tests/test_data.py::test_native_stream_matches_python)
+        # (tests/test_data_config.py::test_native_build_stream_matches_python)
         from batrack_tpu.data import native_rgbd_stream
         from batrack_tpu.data.native_loader import available
         from batrack_tpu.data.streams import _glob_sorted, IMG_EXTS

@@ -69,7 +69,8 @@ def fused_qkv_attention(
     scale: float,
     block_q: int = 0,
     interpret: bool = False,
-    key_mask: jnp.ndarray | None = None,  # (N,) bool; False keys excluded
+    key_mask: jnp.ndarray | None = None,  # (Nk,) bool; False keys excluded
+    kv: jnp.ndarray | None = None,  # (B, Nk, 3*C) separate key/value source
 ) -> jnp.ndarray:
     """Multi-head softmax attention directly on the packed qkv activation.
 
@@ -82,20 +83,34 @@ def fused_qkv_attention(
     masked-shape equivalent of the reference slicing them out
     (md_tracker.py:617-626); same semantics as the flash path's segment
     ids (tracker/blocks.py::_tpu_flash_attention).
+
+    kv: optional separate packed-qkv array supplying the keys/values (its
+    q third is ignored). Used by the track-sharded path
+    (parallel/shard_kernels.py), where each device holds a query shard and
+    all-gathers the key/value rows: queries come from the local `qkv`,
+    keys/values from the gathered `kv`. key_mask then has length Nk.
     """
     B, N, C3 = qkv.shape
     C = C3 // 3
+    kv_arr = qkv if kv is None else kv
+    Nk = kv_arr.shape[1]
     Np = -(-N // 128) * 128
+    Nkp = -(-Nk // 128) * 128
     if not block_q:
         # Np/4 = 32*(Np/128): always a multiple of 8 and divides Np
         block_q = Np // 4
     assert Np % block_q == 0 and block_q % 8 == 0
     if Np != N:
         qkv = jnp.pad(qkv, ((0, 0), (0, Np - N), (0, 0)))
+    if kv is not None and Nkp != Nk:
+        kv_arr = jnp.pad(kv_arr, ((0, 0), (0, Nkp - Nk), (0, 0)))
+    elif kv is None:
+        kv_arr = qkv  # share the query-side padding
+        Nkp = Np
     if key_mask is None:
-        mrow = jnp.ones((1, Np), jnp.float32)
+        mrow = jnp.ones((1, Nkp), jnp.float32)
     else:
-        mrow = jnp.pad(key_mask.astype(jnp.float32), (0, Np - N))[None]
+        mrow = jnp.pad(key_mask.astype(jnp.float32), (0, Nkp - Nk))[None]
 
     grid = (B, Np // block_q)
     # Double-buffered f32 K/V residency at the production shape needs ~19 MB
@@ -104,7 +119,7 @@ def fused_qkv_attention(
     # 2026-08-18: "exceeded scoped vmem limit by 32.0K" at (12, 2432, 1152)).
     out = pl.pallas_call(
         functools.partial(
-            _fused_qkv_kernel, scale=scale, n_valid=N, heads=heads
+            _fused_qkv_kernel, scale=scale, n_valid=Nk, heads=heads
         ),
         grid=grid,
         compiler_params=pltpu.CompilerParams(
@@ -113,18 +128,18 @@ def fused_qkv_attention(
         in_specs=[
             pl.BlockSpec((1, block_q, C), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Np, C), lambda b, i: (b, 0, 1),
+            pl.BlockSpec((1, Nkp, C), lambda b, i: (b, 0, 1),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Np, C), lambda b, i: (b, 0, 2),
+            pl.BlockSpec((1, Nkp, C), lambda b, i: (b, 0, 2),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Np), lambda b, i: (0, 0),
+            pl.BlockSpec((1, Nkp), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, C), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Np, C), qkv.dtype),
         interpret=interpret,
-    )(qkv, qkv, qkv, mrow)
+    )(qkv, kv_arr, kv_arr, mrow)
     return out[:, :N]
 
 

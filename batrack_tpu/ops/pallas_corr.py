@@ -185,6 +185,11 @@ def corr_sample_levels_pallas(
     L = len(fmaps_list)
     S, C, _, _ = fmaps_list[0].shape
     N = targets.shape[0]
+    # the kernel's fori_loop runs block_n // group steps; a non-divisible
+    # pair would silently leave the tail tracks of every block unwritten
+    assert group > 0 and block_n % group == 0, (
+        f"group ({group}) must be positive and divide block_n ({block_n})"
+    )
     d = 2 * radius + 1
     out_dim = 128  # lane-padded row width per output window row
     if scales is None:

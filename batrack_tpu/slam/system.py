@@ -122,7 +122,13 @@ class BATrack:
         if slam.use_keyframe and slam.BA_BACKEND == "slot":
             # frame deletion breaks dense slot addressing; use the flat solver
             import dataclasses
+            import logging
 
+            logging.getLogger(__name__).warning(
+                "BA_BACKEND='slot' is incompatible with use_keyframe (frame "
+                "deletion breaks dense slot addressing); falling back to the "
+                "flat edge solver — expect lower BA throughput"
+            )
             slam = dataclasses.replace(slam, BA_BACKEND="flat")
             self.cfg.slam = slam
         if mesh is not None and slam.BA_BACKEND == "slot":

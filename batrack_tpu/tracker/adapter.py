@@ -35,29 +35,31 @@ class MDTrackerAdapter:
         backward_tracking: bool = False,
         static_threshold: float = 0.1,
         mesh=None,
+        pallas_interpret: bool = False,
     ):
         """mesh: optional jax.sharding.Mesh — shards the query/track axis
-        over the full mesh (per-track corr/flow/time-attention stay local;
-        GSPMD all-gathers only in space attention). None = single device."""
+        over the full mesh. The Pallas corr/attention kernels stay ON under
+        a mesh via explicit shard_map over the track axis
+        (parallel/shard_kernels.py): per-track corr/flow/time-attention
+        need no communication; space attention all-gathers the packed
+        key/value rows. None = single device.
+
+        pallas_interpret: run the Pallas kernels in interpret mode on
+        non-TPU backends (tests and the CPU-mesh dryrun exercise the real
+        kernel code paths; no-op on TPU)."""
         import jax as _jax
 
         self.p = TrackerParams.from_config(model_cfg)
         if dtype is None:
             dtype = jnp.dtype(model_cfg.compute_dtype)
         on_tpu = _jax.default_backend() not in ("cpu", "gpu")
-        if model_cfg.use_pallas_corr and not on_tpu:
+        if pallas_interpret and not on_tpu:
+            self.p = self.p._replace(pallas_interpret=True)
+        if model_cfg.use_pallas_corr and not on_tpu and not self.p.pallas_interpret:
             # the fused kernel is TPU-only; fall back to the XLA path
             self.p = self.p._replace(use_pallas_corr=False)
         self.mesh = mesh
-        if mesh is not None and self.p.use_flash_attention:
-            # the Pallas flash kernel is not shardable by GSPMD; the masked
-            # dense/chunked attention path shards cleanly
-            self.p = self.p._replace(use_flash_attention=False)
-        if mesh is not None and self.p.use_pallas_corr:
-            # same: the corr kernel cannot be partitioned over the track
-            # axis by GSPMD; the XLA gather-contract path shards cleanly
-            self.p = self.p._replace(use_pallas_corr=False)
-        self.model = MDTracker(self.p, dtype=dtype)
+        self.model = MDTracker(self.p, dtype=dtype, mesh=mesh)
         self.backward_tracking = backward_tracking
         # static-branch output merge (batrack.py:556-566): use_static_mask
         # swaps in the static-branch track where the dynamic prob is high;
@@ -73,7 +75,7 @@ class MDTrackerAdapter:
             self.model_bwd = self.model
         else:
             self.model_bwd = MDTracker(
-                self.p._replace(static_iters=0), dtype=dtype
+                self.p._replace(static_iters=0), dtype=dtype, mesh=mesh
             )
         self.params = params  # {'params': ...}; random-init lazily if None
         self._seed = seed

@@ -211,6 +211,8 @@ class Attention(nn.Module):
     chunk: int = 2048
     use_flash: bool = False
     flash_threshold: int = 1024  # below this, dispatch + pad overhead wins
+    mesh: object = None          # jax.sharding.Mesh: shard queries over it
+    interpret: bool = False      # Pallas interpret mode (CPU tests/dryrun)
 
     @nn.compact
     def __call__(self, x, key_mask=None):
@@ -222,8 +224,8 @@ class Attention(nn.Module):
         head = C // self.num_heads
         qkv = nn.Dense(3 * C, name="qkv", dtype=self.dtype)(x)
         scale0 = head ** -0.5
-        if (self.use_flash and N >= self.flash_threshold
-                and jax.default_backend() == "tpu"
+        kernels_on = (jax.default_backend() == "tpu") or self.interpret
+        if (self.use_flash and N >= self.flash_threshold and kernels_on
                 and os.environ.get("BATRACK_TPU_ATTN", "fused") == "fused"):
             # packed-qkv kernel: heads are split/merged inside VMEM, so the
             # (B,N,3C)->3x(B,H,N,d) HBM relayout (~20 ms/forward at SLAM
@@ -232,9 +234,24 @@ class Attention(nn.Module):
             # default (hardware A/B 2026-08-18: 3.21 vs 4.41 ms/block bf16
             # vs split+flash, TPU_PARITY.md); BATRACK_TPU_ATTN=flash opts
             # back into the split+flash path
-            from batrack_tpu.ops.pallas_attention import fused_qkv_attention
-            out = fused_qkv_attention(qkv, self.num_heads, scale0,
-                                      key_mask=key_mask)
+            if self.mesh is not None:
+                # explicit shard_map over the track axis: local queries vs
+                # all-gathered keys/values (GSPMD cannot partition the
+                # pallas_call itself) — parallel/shard_kernels.py
+                from batrack_tpu.parallel.shard_kernels import (
+                    fused_qkv_attention_sharded,
+                )
+                out = fused_qkv_attention_sharded(
+                    qkv, self.num_heads, scale0, self.mesh,
+                    key_mask=key_mask, interpret=self.interpret,
+                )
+            else:
+                from batrack_tpu.ops.pallas_attention import (
+                    fused_qkv_attention,
+                )
+                out = fused_qkv_attention(qkv, self.num_heads, scale0,
+                                          key_mask=key_mask,
+                                          interpret=self.interpret)
             return nn.Dense(C, name="proj", dtype=self.dtype)(out)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head)
         q, k, v = jnp.moveaxis(qkv, 2, 0)
@@ -243,7 +260,7 @@ class Attention(nn.Module):
         v = jnp.moveaxis(v, 1, 2)
         scale = head ** -0.5
         if (self.use_flash and N >= self.flash_threshold
-                and jax.default_backend() == "tpu"):
+                and jax.default_backend() == "tpu" and self.mesh is None):
             out = _tpu_flash_attention(q, k, v, scale, key_mask)
         elif N > self.chunk_threshold:
             out = _chunked_attention(q, k, v, scale, self.chunk, key_mask)
@@ -279,11 +296,16 @@ class AttnBlock(nn.Module):
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    mesh: object = None
+    interpret: bool = False
+    flash_threshold: int = 1024
 
     @nn.compact
     def __call__(self, x, key_mask=None):
         x = x + Attention(self.hidden_size, self.num_heads, self.dtype,
-                          use_flash=self.use_flash, name="attn")(
+                          use_flash=self.use_flash, mesh=self.mesh,
+                          interpret=self.interpret,
+                          flash_threshold=self.flash_threshold, name="attn")(
             layer_norm(x), key_mask)
         x = x + Mlp(int(self.hidden_size * self.mlp_ratio), self.hidden_size,
                     self.dtype, name="mlp")(layer_norm(x))
@@ -303,6 +325,9 @@ class UpdateFormer(nn.Module):
     add_space_attn: bool = True
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    mesh: object = None      # shard the track axis of space attention
+    interpret: bool = False  # Pallas interpret mode (CPU tests/dryrun)
+    flash_threshold: int = 1024  # min N for the kernel paths (test knob)
 
     @nn.compact
     def __call__(self, x, key_mask=None):
@@ -333,6 +358,8 @@ class UpdateFormer(nn.Module):
                 xs = jnp.moveaxis(x, 1, 2).reshape(B * T, N, self.hidden_size)
                 xs = AttnBlock(self.hidden_size, self.num_heads, self.mlp_ratio,
                                self.dtype, use_flash=self.use_flash,
+                               mesh=self.mesh, interpret=self.interpret,
+                               flash_threshold=self.flash_threshold,
                                name=f"space_blocks_{j}")(xs, key_mask)
                 x = jnp.moveaxis(xs.reshape(B, T, N, self.hidden_size), 1, 2)
                 j += 1

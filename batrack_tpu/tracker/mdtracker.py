@@ -71,6 +71,8 @@ class TrackerParams(NamedTuple):
     interp_shape: Tuple[int, int] = (384, 512)
     use_pallas_corr: bool = False  # fused VMEM-resident corr kernel (TPU only)
     use_flash_attention: bool = False  # Pallas flash for space attention (TPU)
+    pallas_interpret: bool = False  # run kernels in interpret mode (CPU tests)
+    flash_threshold: int = 1024     # min track count for the attention kernels
 
     @classmethod
     def from_config(cls, m: ModelConfig) -> "TrackerParams":
@@ -128,10 +130,17 @@ def _scrambled_concat(track_mask: jnp.ndarray, vis: jnp.ndarray,
 
 
 class MDTracker(nn.Module):
-    """The tracker network (submodule names mirror the torch checkpoint)."""
+    """The tracker network (submodule names mirror the torch checkpoint).
+
+    mesh: optional jax.sharding.Mesh — the track axis is sharded over it;
+    the Pallas corr/attention kernels run under explicit shard_map
+    (parallel/shard_kernels.py) so multi-chip keeps the single-chip fast
+    paths (the r2 adapter disabled them under a mesh).
+    """
 
     p: TrackerParams
     dtype: jnp.dtype = jnp.float32
+    mesh: object = None
 
     def setup(self):
         p = self.p
@@ -142,7 +151,8 @@ class MDTracker(nn.Module):
             input_dim=p.input_dim, hidden_size=p.hidden_size,
             num_heads=p.num_heads, output_dim=p.latent_dim + 3,
             add_space_attn=p.add_space_attn, dtype=self.dtype,
-            use_flash=p.use_flash_attention,
+            use_flash=p.use_flash_attention, mesh=self.mesh,
+            interpret=p.pallas_interpret, flash_threshold=p.flash_threshold,
             name="updateformer",
         )
         self.updateformer_dyn = UpdateFormer(
@@ -150,7 +160,8 @@ class MDTracker(nn.Module):
             input_dim=p.input_dim, hidden_size=p.hidden_size,
             num_heads=p.num_heads, output_dim=p.latent_dim + 3,
             add_space_attn=p.add_space_attn, dtype=self.dtype,
-            use_flash=p.use_flash_attention,
+            use_flash=p.use_flash_attention, mesh=self.mesh,
+            interpret=p.pallas_interpret, flash_threshold=p.flash_threshold,
             name="updateformer_dyn",
         )
         # GroupNorm(1, latent) == LayerNorm over channel with affine params
@@ -266,10 +277,22 @@ class MDTracker(nn.Module):
             out_d = self.depth_process_inv(c[..., 2] / Dz * (d_far - d_near) + d_near)
             return out_xy, out_d
 
-        if p.use_pallas_corr:
+        if p.use_pallas_corr and self.mesh is not None:
+            def corr_nsc(ffeats_ns, cxy):
+                # per-track work, zero communication: explicit shard_map
+                # over the track axis (GSPMD cannot partition a pallas_call)
+                from batrack_tpu.parallel.shard_kernels import (
+                    corr_sample_pyramid_sharded,
+                )
+                return corr_sample_pyramid_sharded(
+                    pyramid, ffeats_ns, cxy, p.corr_radius, self.mesh,
+                    interpret=p.pallas_interpret,
+                )
+        elif p.use_pallas_corr:
             def corr_nsc(ffeats_ns, cxy):
                 return corr_sample_pyramid_pallas(
-                    pyramid, ffeats_ns, cxy, p.corr_radius
+                    pyramid, ffeats_ns, cxy, p.corr_radius,
+                    interpret=p.pallas_interpret,
                 )  # (N, S, LRR) directly from the kernel's output BlockSpec
         else:
             def corr_nsc(ffeats_ns, cxy):

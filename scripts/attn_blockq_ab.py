@@ -43,14 +43,23 @@ def main():
     qkv = jnp.asarray(rng.normal(0, 1, (B, N, 3 * C)), jnp.bfloat16)
     mask = jnp.asarray(rng.uniform(0, 1, (N,)) > 0.3)
 
-    base = None
     Np = -(-N // 128) * 128
-    for bq in [Np // 4, Np // 2, Np, Np // 8, 128]:
-        def run(bq=bq):
+
+    def run_bq(bq):
+        def run():
             return fused_qkv_attention(qkv, H, scale, block_q=bq,
                                        key_mask=mask)
+        return jax.jit(run)
 
-        f = jax.jit(run)
+    # parity baseline: the production default (block_q=Np//4), computed
+    # explicitly BEFORE the sweep — abort loudly if it fails rather than
+    # silently comparing later configs against a non-default one
+    base_fn = run_bq(Np // 4)
+    base = base_fn()
+    _flush(base)
+
+    for bq in [Np // 4, Np // 2, Np, Np // 8, 128]:
+        f = run_bq(bq)
         try:
             out = f()
             _flush(out)
@@ -58,12 +67,8 @@ def main():
             print(f"block_q={bq:5d}  FAILED: {type(e).__name__}: "
                   f"{str(e)[:100]}")
             continue
-        if base is None:
-            base = out
-            err = 0.0
-        else:
-            err = float(jnp.max(jnp.abs(
-                out.astype(jnp.float32) - base.astype(jnp.float32))))
+        err = float(jnp.max(jnp.abs(
+            out.astype(jnp.float32) - base.astype(jnp.float32))))
         ms = timeit(f)
         print(f"block_q={bq:5d}  {ms:7.3f} ms/block  maxdiff={err:.2e}")
 

@@ -49,25 +49,29 @@ def main():
         np.stack([rng.uniform(-4, W + 4, (S, N)),
                   rng.uniform(-4, H + 4, (S, N))], -1), jnp.float32)
 
-    base = None
-    for group, block_n in [(8, 256), (16, 256), (32, 256), (64, 256), (32, 128)]:
-        def run(group=group, block_n=block_n):
+    # parity baseline: the production default (GROUP, block_n=256), computed
+    # explicitly BEFORE the sweep — if it fails, abort loudly rather than
+    # silently comparing later configs against whichever one compiled first
+    def run_cfg(group, block_n):
+        def run():
             pyr = build_pyramid(fmaps, L)
             return pc.corr_sample_pyramid_pallas(
                 pyr, targets, coords, r, group=group, block_n=block_n)
+        return jax.jit(run)
 
-        f = jax.jit(run)
+    base_fn = run_cfg(pc.GROUP, 256)
+    base = base_fn()
+    _flush(base)
+
+    for group, block_n in [(8, 256), (16, 256), (32, 256), (64, 256), (32, 128)]:
+        f = run_cfg(group, block_n)
         try:
             out = f(); _flush(out)
         except Exception as e:
             print(f"group={group:3d} block_n={block_n:4d}  FAILED: "
                   f"{type(e).__name__}: {str(e)[:120]}")
             continue
-        if base is None:
-            base = out
-            err = 0.0
-        else:
-            err = float(jnp.max(jnp.abs(out - base)))
+        err = float(jnp.max(jnp.abs(out - base)))
         ms = timeit(f)
         print(f"group={group:3d} block_n={block_n:4d}  {ms:7.2f} ms/pyramid  "
               f"maxdiff={err:.2e}")

@@ -82,10 +82,37 @@ def test_sharded_tracker_matches_single(rng):
     ref = model.apply(params, window, queries)[:5]
     mesh = get_mesh(4, ("track",))
     out = sharded_tracker_apply(model, params, window, queries, mesh, "track")
-    # sharded reductions reorder float accumulation and the iterative
-    # refinement amplifies it; parity to ~0.05 px is the meaningful bar
-    for a, b in zip(ref, out):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-2)
+    # per-output budgets (measured reduction-order noise ~2x headroom):
+    # traj/depth/vis/dyn are ~1e-4-tight; only the static branch amplifies
+    # (its dynamic-component renormalise->denorm chain scales float noise by
+    # (d_far-d_near)/Dz both ways) — r1/r2's blanket 5e-2 is gone
+    tols = [2e-4, 2e-4, 2e-2, 1e-5, 1e-5]
+    for a, b, tol in zip(ref, out, tols):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=tol)
+
+    # per-iteration (pre-amplification) parity: the train=True path exposes
+    # every GN iteration's prediction, so a real sharding divergence cannot
+    # hide behind the final-output chaos budget
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    train_ref = model.apply(params, window, queries, train=True)[-1]
+
+    @jax.jit
+    def fwd_train(w, q):
+        q = jax.lax.with_sharding_constraint(
+            q, NamedSharding(mesh, P("track", None))
+        )
+        return model.apply(params, w, q, train=True)[-1]
+
+    train_sh = fwd_train(window, queries)
+    np.testing.assert_allclose(
+        np.asarray(train_ref["coords"]), np.asarray(train_sh["coords"]),
+        atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(train_ref["depths"]), np.asarray(train_sh["depths"]),
+        atol=2e-4,
+    )
 
 
 def test_dryrun_multichip():
@@ -167,3 +194,154 @@ def test_patch_sharded_slot_ba_matches_single(rng, n_dev):
     np.testing.assert_allclose(
         np.asarray(q1), np.asarray(q2_fm).reshape(-1, 3), atol=2e-3
     )
+
+
+# ---------------------------------------------------------------------------
+# Mesh-native Pallas kernels (parallel/shard_kernels.py): the multi-chip
+# production path must keep the single-chip fast paths (VERDICT r2 item 1).
+# Kernels run in interpret mode on the CPU mesh — same code path, emulated.
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_pallas_corr_matches_xla(rng):
+    """shard_map'd corr kernel == XLA gather-contract over the track axis,
+    including a track count NOT divisible by the mesh (pad path)."""
+    from batrack_tpu.ops.corr import build_pyramid, corr_sample_pyramid
+    from batrack_tpu.parallel.shard_kernels import corr_sample_pyramid_sharded
+
+    S, C, H, W, N = 4, 128, 32, 48, 21  # 21 % 4 != 0 -> exercises padding
+    fmaps = jnp.asarray(rng.normal(size=(S, C, H, W)), jnp.float32)
+    pyr = build_pyramid(fmaps, 3)
+    targets = jnp.asarray(rng.normal(size=(N, S, C)), jnp.float32)
+    coords = jnp.asarray(
+        np.stack([rng.uniform(-2, W + 2, (S, N)), rng.uniform(-2, H + 2, (S, N))], -1),
+        jnp.float32,
+    )
+    mesh = get_mesh(4, ("track",))
+    out = corr_sample_pyramid_sharded(pyr, targets, coords, 3, mesh, interpret=True)
+    ref = jnp.moveaxis(
+        corr_sample_pyramid(pyr, jnp.moveaxis(targets, 0, 1), coords, 3), 0, 1
+    )
+    assert out.shape == ref.shape
+    # the kernel holds feature maps in bf16 (f32 accumulation); ~0.5% of the
+    # O(1)-scale corr values is the bf16 residency budget, not a shard effect
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+
+def test_sharded_fused_attention_matches_dense(rng):
+    """shard_map'd packed-qkv attention (local queries vs all-gathered K/V)
+    == dense masked softmax, to float noise."""
+    from batrack_tpu.parallel.shard_kernels import fused_qkv_attention_sharded
+
+    B, N, C, heads = 3, 21, 384, 8  # 21 % 4 != 0 -> padded-track masking
+    qkv = jnp.asarray(rng.normal(size=(B, N, 3 * C)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=N) > 0.3)
+    scale = (C // heads) ** -0.5
+
+    q, k, v = jnp.split(qkv, 3, -1)
+
+    def split(x):
+        return jnp.moveaxis(x.reshape(B, N, heads, -1), 1, 2)
+
+    q, k, v = map(split, (q, k, v))
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    logits = jnp.where(mask[None, None, None, :], logits, -1e30)
+    ref = jnp.moveaxis(
+        jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(logits, -1), v), 1, 2
+    ).reshape(B, N, C)
+
+    mesh = get_mesh(4, ("track",))
+    out = fused_qkv_attention_sharded(
+        qkv, heads, scale, mesh, key_mask=mask, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def _mesh_loop_scene(T=16, ht=48, wd=64):
+    rng = np.random.default_rng(7)
+    intr = np.array([60.0, 60.0, wd / 2, ht / 2], np.float32)
+    ts = np.arange(T, dtype=np.float32)
+    xi = np.stack(
+        [0.08 * ts, 0.03 * np.sin(ts * 0.3), 0.02 * ts,
+         0.01 * np.sin(ts * 0.2), 0.015 * np.cos(ts * 0.25) - 0.015, 0 * ts],
+        axis=-1,
+    )
+    poses = np.asarray(se3.exp(jnp.asarray(xi)), np.float32)
+    u, v = np.meshgrid(np.arange(wd), np.arange(ht))
+    dirc = np.stack(
+        [(u - intr[2]) / intr[0], (v - intr[3]) / intr[1],
+         np.ones_like(u, np.float32)], -1,
+    )
+    depths = []
+    for p in poses:
+        c2w = np.asarray(se3.inv(jnp.asarray(p)))
+        R = np.asarray(se3.matrix(jnp.asarray(c2w)))[:3, :3]
+        depths.append(((5.0 - c2w[2]) / (dirc @ R.T)[..., 2]).astype(np.float32))
+    images = rng.uniform(0, 255, (T, ht, wd, 3)).astype(np.float32)
+    return images, np.stack(depths), intr, poses
+
+
+def test_real_tracker_under_mesh_full_loop():
+    """The REAL MDTracker (not the oracle), Pallas kernels ON (interpret
+    mode), inside the full BATrack production loop under a 4-device mesh:
+    trajectory-equal to the identical single-device run. This is the r2
+    gating item — mesh-configured production runs must keep the kernels."""
+    from batrack_tpu.slam import BATrack
+    from batrack_tpu.tracker import MDTrackerAdapter
+    from batrack_tpu.utils.config import Config
+
+    ht, wd, T = 48, 64, 16
+    images, depths, intr, _ = _mesh_loop_scene(T, ht, wd)
+
+    def make_cfg():
+        cfg = Config()
+        s = cfg.slam
+        s.BUFFER_SIZE = 32
+        s.PATCHES_PER_FRAME = 16
+        s.PATCH_GEN = "grid_grad_4"
+        s.S_slam = 4
+        s.kf_stride = 2
+        s.num_init = 4
+        s.REMOVAL_WINDOW = 6
+        s.OPTIMIZATION_WINDOW = 5
+        s.MIN_TRACK_LEN = 2
+        s.BOUNDARY_PADDING = 2
+        s.ITER = 1
+        s.BA_EP = 0.1
+        m = cfg.model
+        m.S = 4
+        m.I = 1
+        m.static_iters = 1
+        m.space_depth = m.time_depth = 1
+        m.space_depth_dyn = m.time_depth_dyn = 1
+        # corr_levels stays 4: input_dim (456) = 130 + levels*49 + 128 + 2
+        m.interp_shape = (ht, wd)
+        m.use_pallas_corr = True
+        m.use_flash_attention = True
+        m.compute_dtype = "float32"
+        return cfg
+
+    def drive(mesh):
+        cfg = make_cfg()
+        slam = BATrack(cfg, ht, wd, seed=0, mesh=mesh)
+        ad = MDTrackerAdapter(cfg.model, seed=0, mesh=mesh, pallas_interpret=True)
+        # force the kernel paths at this tiny track count (NQ = 32)
+        ad.p = ad.p._replace(flash_threshold=8)
+        from batrack_tpu.tracker.mdtracker import MDTracker
+
+        ad.model = MDTracker(ad.p, dtype=ad.model.dtype, mesh=mesh)
+        ad.model_bwd = ad.model
+        slam.tracker = ad
+        for t in range(T):
+            slam(t, images[t], depths[t], intr)
+        return slam.terminate()[0], ad
+
+    traj_mesh, ad_mesh = drive(get_mesh(4, ("track",)))
+    # the kernels must actually be on under the mesh (no silent fallback)
+    assert ad_mesh.p.use_pallas_corr and ad_mesh.p.use_flash_attention
+    assert ad_mesh.model.mesh is not None
+
+    traj_single, _ = drive(None)
+    assert np.isfinite(traj_mesh).all()
+    d = np.abs(traj_mesh - traj_single).max()
+    assert d < 1e-3, f"mesh-vs-single trajectory diverged: {d}"
