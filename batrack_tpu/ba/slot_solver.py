@@ -335,7 +335,18 @@ def slot_ba_iteration_fm(
     )                                                   # (PF, G)
     C = jnp.matmul(f_oh, Ck, precision=_HI).reshape(K)
     wvec = jnp.matmul(f_oh, wk, precision=_HI).reshape(K)
-    edge_counts = jnp.matmul(f_oh, (v).reshape(G_, M), precision=_HI).reshape(K)
+    # edge PRESENCE (not gated validity): the reference's unique(kk) counts
+    # every edge in the buffers, so a fully-gated patch is still pulled to
+    # the mono prior. Presence = appended edge x live frames x not deleted
+    # by the removal window — everything except the flow/depth/bounds gates.
+    present = (
+        val * slot_ok[:, None, None, None]
+        * (i_fr[:, :, None, None] < n) * (j_fr[:, None, :, None] < n)
+        * (i_fr[:, :, None, None] >= base_f)
+    )
+    edge_counts = jnp.matmul(
+        f_oh, present.reshape(G_, M), precision=_HI
+    ).reshape(K)
 
     if axis_name is not None and shard_mode == "slots":
         B = jax.lax.psum(B, axis_name)

@@ -208,10 +208,13 @@ def ba_iteration(
     C_adj = C + m * alpha + lmbda
     w_adj = wvec - m * alpha * (disps_k - sens_k)
 
-    # only patches with at least one live edge receive an update: the
-    # reference restricts the system to unique kk (ba.py:276); without this
-    # mask edge-less patches would be dragged to the mono prior every call.
-    edge_counts = seg(v * prob.valid, k_id, K + 1)[:K]
+    # only patches with at least one edge PRESENT receive an update: the
+    # reference restricts the system to unique kk (ba.py:276), which counts
+    # edge presence in the buffers, not gated validity — a patch whose every
+    # edge fails the flow/depth/bounds gates still gets pulled toward the
+    # mono prior (C=0 -> dZ = -alpha/(alpha+lmbda)·(d - d_mono)). Presence =
+    # appended-and-not-deleted: prob.valid x the removal-window emulation.
+    edge_counts = seg(prob.valid * (prob.kk >= prob.base_k), k_id, K + 1)[:K]
     if axis_name is not None:
         edge_counts = jax.lax.psum(edge_counts, axis_name)
     has_edge = edge_counts > 0

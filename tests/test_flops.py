@@ -1,0 +1,75 @@
+"""Analytic FLOP model vs XLA cost_analysis (VERDICT r2 #3).
+
+The analytic model (utils/flops.py) must track the XLA-metered FLOPs when
+everything lowers through XLA (kernels off) — and, by construction, not
+change when ops move into Pallas kernels (where cost_analysis goes blind).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from batrack_tpu.tracker.mdtracker import MDTracker, TrackerParams
+from batrack_tpu.utils.flops import (
+    tracker_forward_flops,
+    tracker_forward_flops_from_params,
+)
+
+S, H, W = 4, 64, 96
+N = 64
+
+
+@pytest.fixture(scope="module")
+def lowered_cost():
+    p = TrackerParams(
+        S=S, time_depth=2, space_depth=1, time_depth_dyn=1, space_depth_dyn=1,
+        iters=2, static_iters=1, interp_shape=(H, W), use_pallas_corr=False,
+        use_flash_attention=False,
+    )
+    model = MDTracker(p)
+    rng = np.random.default_rng(0)
+    window = jnp.asarray(rng.uniform(0, 255, (S, 4, H, W)), jnp.float32)
+    queries = jnp.asarray(
+        np.stack([rng.integers(0, S, N), rng.uniform(5, W - 5, N),
+                  rng.uniform(5, H - 5, N), rng.uniform(1, 3, N)], -1),
+        jnp.float32,
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), window, queries)
+    lowered = jax.jit(model.apply).lower(params, window, queries)
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    return p, float(cost["flops"])
+
+
+def test_analytic_matches_xla_metering(lowered_cost):
+    p, xla_flops = lowered_cost
+    analytic = tracker_forward_flops_from_params(p, N=N, H=H, W=W, new_frames=S)
+    ratio = analytic["total"] / xla_flops
+    # analytic counts matmuls/convs/attention only; XLA additionally meters
+    # elementwise/norm/resize ops (a few percent at this size)
+    assert 0.7 < ratio < 1.05, (analytic["total"], xla_flops, ratio)
+
+
+def test_production_breakdown_reconciles_with_prepallas_metering():
+    """The pre-Pallas XLA metering of the production forward was 12.15 TFLOP
+    (ROOFLINE.md, reuse=2 steady state). The analytic model must land in the
+    same range — the r2 regression this guards against reported 5.7 TFLOP
+    for the same network once kernels moved to Pallas."""
+    br = tracker_forward_flops(N=2400, S=12, H=384, W=512, new_frames=2)
+    assert 9e12 < br["total"] < 12.5e12, br["total"]
+    # the transformer dominates; corr is VPU-bound small FLOPs
+    assert br["updateformer_main"] > 0.5 * br["total"]
+
+
+def test_model_is_backend_invariant():
+    """Moving ops between XLA and Pallas cannot change the analytic count
+    (it depends only on architecture hyperparameters)."""
+    a = tracker_forward_flops(N=256, S=8, H=128, W=192)
+    b = tracker_forward_flops(N=256, S=8, H=128, W=192)
+    assert a == b
+    # and it scales linearly in tracks for the track-major components
+    c = tracker_forward_flops(N=512, S=8, H=128, W=192)
+    assert np.isclose(c["corr_sampling"], 2 * a["corr_sampling"])
+    assert c["updateformer_main"] > 1.9 * a["updateformer_main"]
