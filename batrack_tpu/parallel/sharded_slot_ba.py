@@ -152,4 +152,5 @@ def sharded_slot_slam_update(
     from batrack_tpu.slam.update import cloud_window_frames, update_point_cloud
 
     wf = cloud_window_frames(cfg, dims)
-    return update_point_cloud(state, n, dims, window_frames=wf)
+    return update_point_cloud(state, n, dims, window_frames=wf,
+                              write_world=False)

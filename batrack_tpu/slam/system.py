@@ -446,6 +446,24 @@ class BATrack:
             self._last_append_n = None  # window contents changed; drop cache
 
     # ------------------------------------------------------------------
+    def world_trajectories(self) -> "jnp.ndarray":
+        """Static+dynamic world-point trajectories (the reference's
+        trajs_3d_world_ buffer, batrack.py:87).
+
+        Computed lazily with one full write_world pass: the per-frame loop
+        skips trajs_world maintenance (no consumer reads it mid-sequence,
+        and rows freeze once outside the window, so this pass reproduces
+        incremental maintenance exactly — tested in test_slam_e2e)."""
+        from batrack_tpu.slam.update import update_point_cloud
+
+        state = update_point_cloud(
+            self.state, jnp.asarray(self.n, jnp.int32), self.dims,
+            window_frames=None, write_world=True,
+        )
+        self.state = self.state._replace(trajs_world=state.trajs_world)
+        return self.state.trajs_world
+
+    # ------------------------------------------------------------------
     def save_state(self, path: str) -> None:
         """Checkpoint the full SLAM state for mid-sequence resume."""
         from batrack_tpu.slam.checkpoint import save_slam_state

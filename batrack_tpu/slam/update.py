@@ -122,8 +122,15 @@ def slam_update(
             e_weight_pose=state.e_weight_pose * keep,
         )
 
+    # write_world=False: trajs_world (the reference's trajs_3d_world_ live-
+    # viewer buffer, batrack.py:87) has no consumer in the per-frame loop;
+    # its rows freeze once their frame leaves the window, so one full
+    # write_world pass at read time (BATrack.world_trajectories) reproduces
+    # the incrementally-maintained buffer exactly — skipping the dyn-branch
+    # point cloud here saves ~40% of the cloud pass per update
     return update_point_cloud(
-        state, n, dims, window_frames=cloud_window_frames(cfg, dims)
+        state, n, dims, window_frames=cloud_window_frames(cfg, dims),
+        write_world=False,
     )
 
 
@@ -151,6 +158,7 @@ def update_point_cloud(
     n: jnp.ndarray,
     dims: StaticDims,
     window_frames: int | None = None,
+    write_world: bool = True,
 ) -> SLAMState:
     """Static + dynamic world-point maintenance (batrack.py:821-854).
 
@@ -168,6 +176,12 @@ def update_point_cloud(
     cost drops ~(N / window_frames)x (154 -> ~10 ms at BUFFER_SIZE=1024 on
     the v5e); the full pass (None) remains for tests and terminate-time
     verification.
+
+    write_world: when False, skip the trajs_world buffer (and the dynamic-
+    branch point cloud that feeds only it) — the local_targets overwrite,
+    which the next BA's mono prior reads, is still applied. Because rows
+    freeze once outside the window, a later full write_world pass yields
+    the same trajs_world as incremental maintenance would have.
     """
     NM = state.patches.shape[0]
     M, S_local, N = dims.M, dims.S_local, dims.N
@@ -200,20 +214,23 @@ def update_point_cloud(
     P = projective.point_cloud(state.poses, patches, state.intrinsics, ix)
     static_xyz = P[:, :3] / jnp.where(jnp.abs(P[:, 3:]) > 1e-8, P[:, 3:], 1e-8)
 
-    # dynamic world trajectories from the local target buffer
+    # dynamic world trajectories from the local target buffer (feeds only
+    # trajs_world — skipped in the hot loop, see write_world)
     jj_w = jnp.clip(ix[:, None] + jnp.arange(S_local)[None, :] - mid, 0, N - 1)
     flat_jj = jj_w.reshape(-1)
-    dyn_P = projective.point_cloud(
-        state.poses,
-        local_targets.reshape(-1, 3),
-        state.intrinsics,
-        flat_jj,
-    )
-    dyn_xyz = (dyn_P[:, :3] / jnp.where(jnp.abs(dyn_P[:, 3:]) > 1e-8, dyn_P[:, 3:], 1e-8)
-               ).reshape(K, S_local, 3)
-
     is_static = (local_weights.sum(axis=1) > 0)[:, None, None]
-    trajs_world = jnp.where(is_static, static_xyz[:, None, :], dyn_xyz)
+    if write_world:
+        dyn_P = projective.point_cloud(
+            state.poses,
+            local_targets.reshape(-1, 3),
+            state.intrinsics,
+            flat_jj,
+        )
+        dyn_xyz = (
+            dyn_P[:, :3]
+            / jnp.where(jnp.abs(dyn_P[:, 3:]) > 1e-8, dyn_P[:, 3:], 1e-8)
+        ).reshape(K, S_local, 3)
+        trajs_world = jnp.where(is_static, static_xyz[:, None, :], dyn_xyz)
 
     # reproject static points into neighbour frames -> overwrite local targets
     G = jnp.take(state.poses, flat_jj, axis=0)
@@ -224,19 +241,26 @@ def update_point_cloud(
     new_targets = jnp.where(is_static & live[:, None, None], trg, local_targets)
 
     if window_frames is None or window_frames >= N:
-        trajs_world = jnp.where(
-            live[:, None, None], trajs_world, state.trajs_world
-        )
-        return state._replace(trajs_world=trajs_world, local_targets=new_targets)
+        if write_world:
+            trajs_world = jnp.where(
+                live[:, None, None], trajs_world, state.trajs_world
+            )
+            return state._replace(
+                trajs_world=trajs_world, local_targets=new_targets
+            )
+        return state._replace(local_targets=new_targets)
 
-    trajs_world = jnp.where(
-        live[:, None, None], trajs_world,
-        jax.lax.dynamic_slice_in_dim(state.trajs_world, row0, K, axis=0),
-    )
+    if write_world:
+        trajs_world = jnp.where(
+            live[:, None, None], trajs_world,
+            jax.lax.dynamic_slice_in_dim(state.trajs_world, row0, K, axis=0),
+        )
+        state = state._replace(
+            trajs_world=jax.lax.dynamic_update_slice_in_dim(
+                state.trajs_world, trajs_world, row0, axis=0
+            )
+        )
     return state._replace(
-        trajs_world=jax.lax.dynamic_update_slice_in_dim(
-            state.trajs_world, trajs_world, row0, axis=0
-        ),
         local_targets=jax.lax.dynamic_update_slice_in_dim(
             state.local_targets, new_targets, row0, axis=0
         ),

@@ -63,6 +63,46 @@ def test_production_breakdown_reconciles_with_prepallas_metering():
     assert br["updateformer_main"] > 0.5 * br["total"]
 
 
+def test_static_branch_is_dce_when_output_discarded():
+    """Production configs (use_static_mask/use_static both off) never read
+    the static-branch refinement output, so the adapter's jit discards
+    static3d and XLA must eliminate the whole dyn-branch transformer — the
+    FLOP accounting in bench.py counts on this (the reference executes the
+    branch eagerly in torch; batrack.py:556-566)."""
+    p = TrackerParams(
+        S=S, time_depth=2, space_depth=1, time_depth_dyn=2, space_depth_dyn=1,
+        iters=1, static_iters=2, interp_shape=(H, W), use_pallas_corr=False,
+        use_flash_attention=False,
+    )
+    rng = np.random.default_rng(0)
+    window = jnp.asarray(rng.uniform(0, 255, (S, 4, H, W)), jnp.float32)
+    queries = jnp.asarray(
+        np.stack([rng.integers(0, S, N), rng.uniform(5, W - 5, N),
+                  rng.uniform(5, H - 5, N), rng.uniform(1, 3, N)], -1),
+        jnp.float32,
+    )
+
+    def flops_of(pp, drop_static):
+        model = MDTracker(pp)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), window, queries)
+        if drop_static:
+            def fn(pr, w, q):
+                traj, depth, static3d, vis, dyn, fmaps = model.apply(pr, w, q)
+                return traj, depth, vis, dyn, fmaps
+        else:
+            fn = model.apply
+        c = jax.jit(fn).lower(params, window, queries).compile().cost_analysis()
+        if isinstance(c, list):
+            c = c[0]
+        return float(c["flops"])
+
+    kept = flops_of(p, drop_static=False)
+    dce = flops_of(p, drop_static=True)
+    none = flops_of(p._replace(static_iters=0), drop_static=True)
+    assert dce == pytest.approx(none, rel=1e-6)
+    assert kept > 1.2 * dce  # the branch is a real fraction when kept
+
+
 def test_model_is_backend_invariant():
     """Moving ops between XLA and Pallas cannot change the analytic count
     (it depends only on architecture hyperparameters)."""

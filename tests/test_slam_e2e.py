@@ -300,8 +300,10 @@ class TestSiftPatchGen:
 
 
 def test_windowed_point_cloud_matches_full(scene):
-    """The windowed per-frame point-cloud pass equals the full-buffer pass:
-    rows leave the window already holding their final values."""
+    """The windowed per-frame local-target overwrite equals the full-buffer
+    pass: rows leave the window already holding their final values. (The
+    production loop maintains local_targets windowed every update;
+    trajs_world is lazy — see the shadow test below.)"""
     from batrack_tpu.slam.update import cloud_window_frames, update_point_cloud
 
     slam = run_slam(scene)
@@ -315,13 +317,48 @@ def test_windowed_point_cloud_matches_full(scene):
     # shapes, and threaded CPU reductions can reorder accumulation (observed
     # a one-off 1e-5 exceedance); a real windowing bug is pixel-scale
     np.testing.assert_allclose(
-        np.asarray(full.trajs_world[:live]), np.asarray(win.trajs_world[:live]),
-        atol=1e-4,
-    )
-    np.testing.assert_allclose(
         np.asarray(full.local_targets[:live]),
         np.asarray(win.local_targets[:live]), atol=1e-4,
     )
+
+
+def test_lazy_world_trajectories_match_incremental(scene):
+    """The hot loop skips trajs_world maintenance (write_world=False); the
+    lazy full pass (BATrack.world_trajectories) must reproduce what
+    per-frame incremental maintenance (the reference's schedule,
+    batrack.py:821-854) would have produced — rows freeze once their frame
+    leaves the window, so the two schedules agree.
+
+    The incremental reference is a SHADOW buffer: after each production
+    frame, a windowed write_world pass runs on a copy of the state with the
+    shadow trajs_world injected, and only the resulting trajs_world is kept
+    — exactly the old per-update maintenance, with evolving poses, without
+    feeding anything back into the SLAM (whose trajectory must stay the
+    production one)."""
+    from batrack_tpu.slam.update import cloud_window_frames, update_point_cloud
+
+    poses_gt, depths, images = scene
+    cfg = small_config()
+    dims = StaticDims.from_config(cfg, HT, WD)
+
+    slam = BATrack(cfg, HT, WD, seed=0)
+    slam.tracker = OracleTracker(poses_gt, INTR, dims, noise=0.0)
+    wf = cloud_window_frames(cfg.slam, dims)
+    # copy: slam.state's buffers get DONATED by the jitted frame steps
+    shadow = slam.state.trajs_world.copy()
+    for t in range(T_FRAMES):
+        slam(t, images[t], depths[t], INTR)
+        if slam.is_initialized:  # update_point_cloud runs only inside update()
+            st = slam.state._replace(trajs_world=shadow)
+            shadow = update_point_cloud(
+                st, jnp.asarray(slam.n, jnp.int32), dims,
+                window_frames=wf, write_world=True,
+            ).trajs_world
+
+    assert not np.asarray(slam.state.trajs_world).any()  # untouched in prod
+    live = slam.n * dims.M
+    lazy = np.asarray(slam.world_trajectories()[:live])
+    np.testing.assert_allclose(lazy, np.asarray(shadow[:live]), atol=1e-4)
 
 
 def test_fused_append_matches_legacy_path(scene):
