@@ -20,7 +20,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _fused_qkv_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale, n_valid,
-                      heads):
+                      heads, qk_bf16=False):
     """All-head attention on the PACKED qkv projection output.
 
     q_ref: (1, BQ, C), k_ref/v_ref: (1, N, C) — the q/k/v thirds of the
@@ -41,10 +41,17 @@ def _fused_qkv_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale, n_valid,
     """
     C = q_ref.shape[-1]
     d = C // heads
+    # qk_bf16: feed the logits matmul in the activations' own bf16 (f32
+    # accumulate via preferred_element_type). The f32 upcast path makes
+    # Mosaic emit a multi-pass f32 MXU matmul at a fraction of the bf16
+    # rate; the bf16 dot is ~2x faster at the production shape
+    # (scripts/attn_ab.py) and only perturbs logits below the bf16
+    # round-off already accepted on the P*V side.
+    qk_t = jnp.bfloat16 if qk_bf16 else jnp.float32
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
-        q = q_ref[0, :, sl].astype(jnp.float32)       # (BQ, d)
-        k = k_ref[0, :, sl].astype(jnp.float32)       # (N, d)
+        q = q_ref[0, :, sl].astype(qk_t)               # (BQ, d)
+        k = k_ref[0, :, sl].astype(qk_t)               # (N, d)
         v = v_ref[0, :, sl]                            # (N, d)
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -71,6 +78,7 @@ def fused_qkv_attention(
     interpret: bool = False,
     key_mask: jnp.ndarray | None = None,  # (Nk,) bool; False keys excluded
     kv: jnp.ndarray | None = None,  # (B, Nk, 3*C) separate key/value source
+    qk_bf16: bool = False,  # bf16 logits matmul (f32 accumulate); see kernel
 ) -> jnp.ndarray:
     """Multi-head softmax attention directly on the packed qkv activation.
 
@@ -119,7 +127,8 @@ def fused_qkv_attention(
     # 2026-08-18: "exceeded scoped vmem limit by 32.0K" at (12, 2432, 1152)).
     out = pl.pallas_call(
         functools.partial(
-            _fused_qkv_kernel, scale=scale, n_valid=Nk, heads=heads
+            _fused_qkv_kernel, scale=scale, n_valid=Nk, heads=heads,
+            qk_bf16=qk_bf16,
         ),
         grid=grid,
         compiler_params=pltpu.CompilerParams(

@@ -29,6 +29,15 @@ FRAME_SCALE_DIV = 10.0  # refine_net.py:139 (exp(x / 10))
 K_SCALE = 20.0      # refine_net.py:19
 
 
+def _abs0(x):
+    """|x| with a ZERO subgradient at 0 (torch convention). jnp.abs
+    backpropagates 1 at exactly 0, and the refine losses sit exactly on
+    that point at init (all scales equal -> all pairwise differences 0),
+    where Adam's first step is ~sign(g)*lr — the convention decides the
+    sign of entire first updates (see tests/test_refine_ref_parity.py)."""
+    return x * jnp.sign(x)
+
+
 def _safe_norm(x, axis=-1):
     """L2 norm with a zero subgradient at 0 (torch convention; plain
     jnp.linalg.norm backpropagates NaN at exactly-zero distances, which the
@@ -83,11 +92,18 @@ def align_depth_maps(depth_maps: np.ndarray) -> np.ndarray:
     return out.astype(depth_maps.dtype)
 
 
-def build_refine_data(results: dict, align_depth: bool = True) -> RefineData:
-    """From a results.pkl dict (reference schema, batrack.py:1113-1125)."""
-    trajs = np.asarray(results["trajs_2d_disp"], np.float32)  # (T, N, S, 3)
+def build_refine_data(
+    results: dict, align_depth: bool = True, dtype=np.float32
+) -> RefineData:
+    """From a results.pkl dict (reference schema, batrack.py:1113-1125).
+
+    dtype: float32 in production; float64 for the reference-parity suite
+    (tests/test_refine_ref_parity.py) where rounding must not mask a
+    semantic difference.
+    """
+    trajs = np.asarray(results["trajs_2d_disp"], dtype)  # (T, N, S, 3)
     T, N, S, _ = trajs.shape
-    dmaps = np.asarray(results["dmaps"], np.float32)
+    dmaps = np.asarray(results["dmaps"], dtype)
     if dmaps.ndim == 4:
         dmaps = dmaps[..., 0]
     if align_depth:
@@ -118,12 +134,12 @@ def build_refine_data(results: dict, align_depth: bool = True) -> RefineData:
         + wy * (1 - wx) * dmaps[fsel, y1c, x0c]
         + wy * wx * dmaps[fsel, y1c, x1c]
     )
-    mono = (1.0 / np.maximum(d, 1e-2)).astype(np.float32)
+    mono = (1.0 / np.maximum(d, 1e-2)).astype(dtype)
 
-    qmask = np.zeros((T,), np.float32)
+    qmask = np.zeros((T,), dtype)
     qmask[np.asarray(results["grid_query_frames"], int)] = 1.0
 
-    cams = np.asarray(results["cams_T_world"], np.float32)
+    cams = np.asarray(results["cams_T_world"], dtype)
     # tiny (T,4,4) conversion: run on the host CPU backend — compiling it on
     # a tunneled TPU costs ~13 s, on CPU <1 s
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
@@ -133,27 +149,29 @@ def build_refine_data(results: dict, align_depth: bool = True) -> RefineData:
         trajs_2d=jnp.asarray(trajs[..., :2]),
         trajs_disp=jnp.asarray(trajs[..., 2]),
         trajs_disp_mono=jnp.asarray(mono),
-        trajs_vis=jnp.asarray(np.asarray(results["trajs_vis"], np.float32)),
-        trajs_static=jnp.asarray(np.asarray(results["trajs_static"], np.float32)),
+        trajs_vis=jnp.asarray(np.asarray(results["trajs_vis"], dtype)),
+        trajs_static=jnp.asarray(np.asarray(results["trajs_static"], dtype)),
         query_frame_mask=jnp.asarray(qmask),
         jj=jnp.asarray(jj, jnp.int32),
         pose_init=jnp.asarray(pose_init),
-        intrinsics=jnp.asarray(np.asarray(results["intrinsics"], np.float32)),
+        intrinsics=jnp.asarray(np.asarray(results["intrinsics"], dtype)),
         dmaps=jnp.asarray(dmaps),
     )
 
 
-def init_params(data: RefineData, grid_size: int) -> RefineParams:
+def init_params(
+    data: RefineData, grid_size: int, dtype=jnp.float32
+) -> RefineParams:
     T, N, S = data.trajs_disp.shape
     # both ones like the reference (refine_net.py:41-42). Note the frame
     # scales are NOT the identity at init: effective = exp(1/10) ~ 1.105
     # (trajs_scales ARE identity: mean-centering zeroes them before exp) —
     # reference-faithful, the optimizer removes the 10% bias
     return RefineParams(
-        trajs_scales=jnp.ones((T, N, S), jnp.float32),
-        frame_scales=jnp.ones((T, grid_size, grid_size), jnp.float32),
-        pose_delta=jnp.zeros((T, 6), jnp.float32),
-        K=jnp.median(data.intrinsics, axis=0) / K_SCALE,
+        trajs_scales=jnp.ones((T, N, S), dtype),
+        frame_scales=jnp.ones((T, grid_size, grid_size), dtype),
+        pose_delta=jnp.zeros((T, 6), dtype),
+        K=jnp.median(data.intrinsics, axis=0).astype(dtype) / K_SCALE,
     )
 
 
@@ -269,7 +287,7 @@ def inter_frame_loss(p, data, image_hw) -> jnp.ndarray:
             jnp.moveaxis(xy_t, 0, 1), jnp.moveaxis(mono_t, 0, 1), intr_t[:, None]
         )  # (S, N, 3)
         pd = _safe_norm(pts[:, :, None] - pts[:, None, :])  # (S, N, N)
-        diff = jnp.abs(pd - pd[mid])
+        diff = _abs0(pd - pd[mid])
         t_ok = ((jj_t >= 0) & (jj_t < T)).astype(jnp.float32)[:, None, None]
         vis_m = jnp.moveaxis(vis_t, 0, 1)               # (S, N)
         st_m = jnp.moveaxis(st_t, 0, 1)
@@ -360,7 +378,7 @@ def cam_smooth_loss(p, data) -> jnp.ndarray:
 def scale_smoothness_loss(p) -> jnp.ndarray:
     """L1 neighbour smoothness of the scale grid (refine_net.py:362-392)."""
     s = effective_frame_scales(p)
-    return jnp.abs(s[:, :, :-1] - s[:, :, 1:]).mean() + jnp.abs(
+    return _abs0(s[:, :, :-1] - s[:, :, 1:]).mean() + _abs0(
         s[:, :-1] - s[:, 1:]
     ).mean()
 

@@ -67,7 +67,12 @@ def global_alignment_loop(
             lr_now = cfg.lr + (1e-6 - cfg.lr) * t
         else:
             raise ValueError(cfg.schedule)
-        params, opt_state, loss, parts = step(params, opt_state, jnp.float32(lr_now))
+        # LR in the params' own dtype: f32 in production, f64 in the
+        # reference-parity suite (a downcast LR shifts the Adam trajectory)
+        lr_dt = params.trajs_scales.dtype
+        params, opt_state, loss, parts = step(
+            params, opt_state, jnp.asarray(lr_now, lr_dt)
+        )
         if verbose and it % 50 == 0:
             parts = {k: float(v) for k, v in parts.items()}
             print(f"iter {it}: loss={float(loss):.5f} lr={lr_now:.2e} {parts}")

@@ -106,7 +106,7 @@ def main() -> int:
     s.PATCH_GEN = "grid_grad_20"
     s.BA_EP = 0.4  # damping scaled to the reduced focal length
 
-    from bench import make_scene  # single scene definition for all benches
+    from batrack_tpu.utils.synth import make_scene  # single scene for all benches
 
     images, depths, poses_gt = make_scene(T, HT, WD, INTR, se3, jnp)
 

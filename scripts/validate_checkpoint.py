@@ -97,14 +97,13 @@ def _slam_smoke(params):
     from batrack_tpu.slam import BATrack
     from batrack_tpu.tracker import MDTrackerAdapter
     from batrack_tpu.utils.config import Config
+    from batrack_tpu.utils.synth import make_scene
 
     HT, WD = 480, 640
     INTR = np.array([500.0, 500.0, WD / 2, HT / 2], np.float32)
     T = 20
     cfg = Config()
     cfg.slam.BUFFER_SIZE = 64
-
-    from bench import make_scene
 
     images, depths, _ = make_scene(T, HT, WD, INTR, se3, jnp)
     slam = BATrack(cfg, HT, WD, seed=0)
@@ -133,6 +132,9 @@ def main() -> int:
     ap.add_argument("--skip-slam", action="store_true")
     ap.add_argument("--on-tpu", action="store_true",
                     help="let the TPU backend register (default forces CPU)")
+    ap.add_argument("--reference-root", default=None,
+                    help="reference checkout (default: $BATRACK_REFERENCE_ROOT"
+                         " or /root/reference)")
     args = ap.parse_args()
 
     import os
@@ -152,7 +154,18 @@ def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import torch
 
+    from batrack_tpu.utils.refimport import (
+        ConfigNode as _C,
+        install_reference_stubs,
+        reference_root,
+    )
+
     report = {"checkpoint": args.checkpoint}
+
+    if not os.path.isfile(args.checkpoint):
+        report["verdict"] = f"NO-GO: checkpoint not found: {args.checkpoint}"
+        print(json.dumps(report, indent=2))
+        return 1
 
     # ---- 1. load + strict reference instantiation -------------------------
     sd = torch.load(args.checkpoint, map_location="cpu", weights_only=False)
@@ -160,11 +173,14 @@ def main() -> int:
         sd = sd["model"]
     sd = {k.replace("module.", ""): v for k, v in sd.items()}  # batrack.py:349
 
-    sys.path.insert(0, "/root/repo/tests")
-    from test_tracker_ref_parity import _C, _install_stubs
-
-    _install_stubs()
-    sys.path.insert(0, "/root/reference")
+    try:
+        ref_root = reference_root(args.reference_root)
+    except FileNotFoundError as e:
+        report["verdict"] = f"NO-GO: {e}"
+        print(json.dumps(report, indent=2))
+        return 1
+    install_reference_stubs()
+    sys.path.insert(0, ref_root)
     from main.frontend.md_tracker import MDTracker as TorchMDTracker
 
     cfg_model = dict(

@@ -31,68 +31,10 @@ H, W = 64, 96
 DEPTHS = dict(time_depth=2, space_depth=1, time_depth_dyn=1, space_depth_dyn=1)
 
 
-def _install_stubs():
-    """timm.models.vision_transformer.{Attention, Mlp} + torchvision stub."""
-    if "timm.models.vision_transformer" in sys.modules:
-        return
-    import torch.nn as nn
-
-    class Attention(nn.Module):
-        def __init__(self, dim, num_heads=8, qkv_bias=False, **kw):
-            super().__init__()
-            self.num_heads = num_heads
-            self.head_dim = dim // num_heads
-            self.scale = self.head_dim ** -0.5
-            self.qkv = nn.Linear(dim, dim * 3, bias=qkv_bias)
-            self.proj = nn.Linear(dim, dim)
-
-        def forward(self, x):
-            B, N, C = x.shape
-            qkv = self.qkv(x).reshape(B, N, 3, self.num_heads, self.head_dim)
-            q, k, v = qkv.permute(2, 0, 3, 1, 4).unbind(0)
-            attn = (q @ k.transpose(-2, -1)) * self.scale
-            attn = attn.softmax(dim=-1)
-            x = (attn @ v).transpose(1, 2).reshape(B, N, C)
-            return self.proj(x)
-
-    class Mlp(nn.Module):
-        def __init__(self, in_features, hidden_features=None, out_features=None,
-                     act_layer=nn.GELU, drop=0.0, **kw):
-            super().__init__()
-            out_features = out_features or in_features
-            hidden_features = hidden_features or in_features
-            self.fc1 = nn.Linear(in_features, hidden_features)
-            self.act = act_layer()
-            self.fc2 = nn.Linear(hidden_features, out_features)
-
-        def forward(self, x):
-            return self.fc2(self.act(self.fc1(x)))
-
-    tm = types.ModuleType("timm")
-    tmm = types.ModuleType("timm.models")
-    tmv = types.ModuleType("timm.models.vision_transformer")
-    tmv.Attention = Attention
-    tmv.Mlp = Mlp
-    tmm.vision_transformer = tmv
-    tm.models = tmm
-    sys.modules.update({"timm": tm, "timm.models": tmm,
-                        "timm.models.vision_transformer": tmv})
-
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tvt = types.ModuleType("torchvision.transforms")
-        tv.transforms = tvt
-        sys.modules.update({"torchvision": tv, "torchvision.transforms": tvt})
-
-
-class _C(dict):
-    """Minimal omegaconf-like node: attribute access + `in` support."""
-
-    def __getattr__(self, k):
-        try:
-            return self[k]
-        except KeyError:
-            raise AttributeError(k)
+from batrack_tpu.utils.refimport import (  # shared with validate_checkpoint
+    ConfigNode as _C,
+    install_reference_stubs as _install_stubs,
+)
 
 
 def _ref_cfg():
