@@ -212,6 +212,11 @@ def main(argv=None) -> int:
     total = time.time() - start
     logger.info("Total time: %.2f s | FPS: %.2f | s/frame: %.4f", total, nf / total, total / nf)
     logger.info("stage timings:\n%s", slam.timer.report())
+    if slam.delta:
+        logger.info(
+            "keyframe removals: %d (frames %s; reconstructed via delta "
+            "memos at terminate)", len(slam.delta), sorted(slam.delta),
+        )
 
     pred_traj = slam.terminate()
 

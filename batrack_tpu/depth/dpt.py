@@ -64,11 +64,43 @@ class ViTBlock(nn.Module):
         return x + h * ls2
 
 
+def _torch_bicubic_matrix(n_in: int, n_out: int, inv_scale: float) -> np.ndarray:
+    """(n_out, n_in) interpolation matrix with torch's EXACT bicubic
+    semantics: cubic convolution A=-0.75 (vs jax.image.resize's Keys A=-0.5),
+    half-pixel mapping src = (dst + 0.5) * inv_scale - 0.5, border-clamped
+    taps, NO antialiasing on downscale (F.interpolate default). inv_scale is
+    n_in/n_out in size mode, or 1/scale_factor in scale-factor mode (the
+    DINOv2 +0.1-offset kludge, dinov2.py:191-203)."""
+    A = -0.75
+    W = np.zeros((n_out, n_in), np.float64)
+    for i in range(n_out):
+        src = (i + 0.5) * inv_scale - 0.5
+        f = np.floor(src)
+        t = src - f
+        for k in range(-1, 3):
+            x = abs(k - t)
+            if x <= 1.0:
+                w = (A + 2) * x ** 3 - (A + 3) * x ** 2 + 1
+            elif x < 2.0:
+                w = A * x ** 3 - 5 * A * x ** 2 + 8 * A * x - 4 * A
+            else:
+                continue
+            W[i, int(np.clip(f + k, 0, n_in - 1))] += w
+    return W.astype(np.float32)
+
+
 class DINOv2(nn.Module):
-    """ViT trunk with bicubic pos-embed interpolation (dinov2.py:178-211)."""
+    """ViT trunk with bicubic pos-embed interpolation (dinov2.py:178-211).
+
+    interpolate_offset: DepthAnything's DINOv2 factory uses the historical
+    0.1 scale-factor kludge (Depth-Anything dinov2.py:414,191-203);
+    UniDepth's uses 0.0 = plain size mode (UniDepth
+    models/encoder.py:188, backbones/dinov2.py: size branch).
+    """
 
     arch: str = "vitl"
     dtype: jnp.dtype = jnp.float32
+    interpolate_offset: float = 0.1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, take: Sequence[int]):
@@ -89,14 +121,23 @@ class DINOv2(nn.Module):
             "pos_embed", nn.initializers.zeros, (1, 37 * 37 + 1, dim)
         )  # 518/14 = 37 per side at pretrain resolution
 
-        # interpolate_pos_encoding (dinov2.py:179-211): bicubic resize of the
-        # patch grid with the +0.1 offset folded into the target size
+        # interpolate_pos_encoding (dinov2.py:179-211): torch-exact bicubic
+        # resize of the patch grid (A=-0.75, no antialias); the weight
+        # matrices are trace-time constants, applied as two matmuls
         n_pre = pos.shape[1] - 1
         side = int(round(float(np.sqrt(n_pre))))
         patch_pos = pos[:, 1:].reshape(1, side, side, dim)
         if (ph, pw) != (side, side):
-            patch_pos = jax.image.resize(
-                patch_pos, (1, ph, pw, dim), method="bicubic"
+            if self.interpolate_offset:
+                inv_h = side / (ph + self.interpolate_offset)
+                inv_w = side / (pw + self.interpolate_offset)
+            else:
+                inv_h, inv_w = side / ph, side / pw
+            Wh = jnp.asarray(_torch_bicubic_matrix(side, ph, inv_h))
+            Ww = jnp.asarray(_torch_bicubic_matrix(side, pw, inv_w))
+            patch_pos = jnp.einsum(
+                "hm,bmnd,wn->bhwd", Wh, patch_pos, Ww,
+                precision=jax.lax.Precision.HIGHEST,
             )
         pos_full = jnp.concatenate(
             [pos[:, :1], patch_pos.reshape(1, ph * pw, dim)], axis=1

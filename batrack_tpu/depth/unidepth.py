@@ -564,7 +564,10 @@ class UniDepthV2(nn.Module):
         B, H, W, _ = x.shape
         shapes = (H // PATCH, W // PATCH)
         take = [i - 1 for i in OUT_IDX]
-        outs = DINOv2("vitl", self.dtype, name="pixel_encoder")(x, take)
+        # interpolate_offset=0.0: UniDepth's encoder factory disables the
+        # DINOv2 +0.1 kludge (models/encoder.py:188 -> size-mode interp)
+        outs = DINOv2("vitl", self.dtype, interpolate_offset=0.0,
+                      name="pixel_encoder")(x, take)
         features = [t for t, _ in outs]
         cls = [c[:, None] for _, c in outs]  # (B, 1, C) each
         # stacking_fn="last" over slices (0,21),(21,22),(22,23),(23,24)
@@ -583,15 +586,18 @@ class UniDepthV2(nn.Module):
 # ---------------------------------------------------------------------------
 
 def _infer_shape(hw: Tuple[int, int],
-                 resolution_level: Optional[int] = None):
+                 resolution_level: Optional[int] = None,
+                 pixels_bounds: Tuple[int, int] = PIXELS_BOUNDS):
     """Shape-constrained network resolution (unidepthv2.py:56-93).
 
     The patch count is FORCED to the level's bound regardless of the input
     size — reference-identical: _get_level_resolution sets pixels_bounds to
     [bound, bound] (unidepthv2.py:61-66), so clamp(n, bound, bound) == bound.
+    pixels_bounds mirrors the reference's config-driven shape_constraints
+    (config_v2_vitl14.json data.shape_constraints.pixels_bounds).
     """
     H, W = hw
-    lo, hi = PIXELS_BOUNDS
+    lo, hi = pixels_bounds
     level = 10 if resolution_level is None else min(max(resolution_level, 0), 10)
     bound = lo + math.ceil((hi - lo) * level / 10)
     ratio = W / H
@@ -637,11 +643,12 @@ def _run_fn(model, h, w, H, W, ratio, with_K):
 
 def infer(model: UniDepthV2, params, image: np.ndarray,
           intrinsics: Optional[np.ndarray] = None,
-          resolution_level: Optional[int] = None):
+          resolution_level: Optional[int] = None,
+          pixels_bounds: Tuple[int, int] = PIXELS_BOUNDS):
     """uint8 RGB (H, W, 3) -> {depth (H, W), intrinsics (3, 3),
     confidence (H, W), points (H, W, 3)} at the original resolution."""
     H, W = image.shape[:2]
-    (h, w), ratio = _infer_shape((H, W), resolution_level)
+    (h, w), ratio = _infer_shape((H, W), resolution_level, pixels_bounds)
     x = (image.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
 
     K_in = None

@@ -30,14 +30,10 @@ def _fused_qkv_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale, n_valid,
     the point: the XLA formulation reshapes (B, N, 3C) -> 3x(B, H, N, d) in
     HBM at ~20% of copy bandwidth (~20 ms/tracker-forward, see ROOFLINE.md).
 
-    Mosaic risk (untested on hardware as of 2026-08-18 — tunnel outage): the
-    d=48 static lane slices sit at non-128-aligned offsets. If Mosaic
-    rejects them, fallbacks in preference order: (a) zero-pad the qkv Dense
-    weight columns so each head occupies a 128-lane slab (3*8*128 = 3072
-    output lanes; ~2.7x qkv-matmul FLOPs = +0.5 ms/block, slices become
-    legal 128-aligned blocks and the head loop can move into the grid);
-    (b) NOT a masked full-C dot per head — that triples MXU time vs the
-    padded-48 contraction.
+    Hardware-validated 2026-08-18 (TPU_PARITY.md round-3 section): Mosaic
+    accepts the d=48 non-128-aligned static lane slices; the kernel measures
+    3.21 ms/block bf16 vs 4.46 ms for the XLA reshape formulation on the
+    v5e, parity 1.9e-4 vs dense f32.
     """
     C = q_ref.shape[-1]
     d = C // heads
@@ -92,15 +88,20 @@ def fused_qkv_attention(
     (md_tracker.py:617-626); same semantics as the flash path's segment
     ids (tracker/blocks.py::_tpu_flash_attention).
 
-    kv: optional separate packed-qkv array supplying the keys/values (its
-    q third is ignored). Used by the track-sharded path
-    (parallel/shard_kernels.py), where each device holds a query shard and
-    all-gathers the key/value rows: queries come from the local `qkv`,
-    keys/values from the gathered `kv`. key_mask then has length Nk.
+    kv: optional separate key/value source. Either a full packed-qkv array
+    (B, Nk, 3C) whose q third is ignored, or a slim (B, Nk, 2C) K/V-only
+    array. Used by the track-sharded path (parallel/shard_kernels.py),
+    where each device holds a query shard and all-gathers ONLY the 2C
+    key/value lanes of the other shards: queries come from the local
+    `qkv`, keys/values from the gathered `kv`. key_mask then has length Nk.
     """
     B, N, C3 = qkv.shape
     C = C3 // 3
     kv_arr = qkv if kv is None else kv
+    assert kv_arr.shape[-1] in (2 * C, 3 * C), kv_arr.shape
+    # lane-block offset of the K third inside kv: 1 for packed qkv, 0 for
+    # a slim K/V-only array
+    kv_off = kv_arr.shape[-1] // C - 2
     Nk = kv_arr.shape[1]
     Np = -(-N // 128) * 128
     Nkp = -(-Nk // 128) * 128
@@ -137,9 +138,9 @@ def fused_qkv_attention(
         in_specs=[
             pl.BlockSpec((1, block_q, C), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Nkp, C), lambda b, i: (b, 0, 1),
+            pl.BlockSpec((1, Nkp, C), lambda b, i: (b, 0, kv_off),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Nkp, C), lambda b, i: (b, 0, 2),
+            pl.BlockSpec((1, Nkp, C), lambda b, i: (b, 0, kv_off + 1),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Nkp), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),

@@ -97,14 +97,17 @@ def fused_qkv_attention_sharded(
 ) -> jnp.ndarray:
     """fused_qkv_attention with the query/track axis sharded over `mesh`.
 
-    One all-gather of the packed qkv rows per call (the keys/values every
-    query needs; ~B*N*3C*2 bytes over ICI), then each device runs the
-    single-pass kernel for its local queries — padded tracks are masked out
-    of every softmax via the key-mask row. Output stays sharded over tracks.
+    One all-gather of the K/V lanes per call (the keys/values every query
+    needs; B*N*2C bf16 bytes over ICI — the q lanes stay local, 2/3 of the
+    naive packed-row gather), then each device runs the single-pass kernel
+    for its local queries — padded tracks are masked out of every softmax
+    via the key-mask row. Output stays sharded over tracks. Matches the
+    SCALING collective_cost_model's (n-1)/n * N * 2C bf16 accounting.
     """
     axis = full_axis(mesh)
     nd = mesh.size
-    B, N, _ = qkv.shape
+    B, N, C3 = qkv.shape
+    C = C3 // 3
     n_pad = (-N) % nd
     if key_mask is None:
         key_mask = jnp.ones((N,), bool)
@@ -113,7 +116,7 @@ def fused_qkv_attention_sharded(
         key_mask = jnp.pad(key_mask, (0, n_pad))  # False: padded keys masked
 
     def f(qkv_loc, mask_loc):
-        kv = jax.lax.all_gather(qkv_loc, axis, axis=1, tiled=True)
+        kv = jax.lax.all_gather(qkv_loc[:, :, C:], axis, axis=1, tiled=True)
         mask = jax.lax.all_gather(mask_loc, axis, axis=0, tiled=True)
         return fused_qkv_attention(
             qkv_loc, heads, scale, block_q=block_q, interpret=interpret,

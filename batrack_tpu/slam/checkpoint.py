@@ -32,6 +32,11 @@ def save_slam_state(slam: "BATrack", path: str) -> None:
             str(t1): [int(t0), np.asarray(dP).tolist()]
             for t1, (t0, dP) in slam.delta.items()
         },
+        "slot_info": [
+            None if info is None
+            else [int(info["seq"]), [int(s) for s in info["sources"]]]
+            for info in slam._slot_info
+        ],
     }
     np.savez_compressed(path, meta=json.dumps(meta), **arrays)
 
@@ -58,3 +63,20 @@ def load_slam_state(slam: "BATrack", path: str) -> None:
         int(t1): (int(v[0]), np.asarray(v[1], np.float32))
         for t1, v in meta["delta"].items()
     }
+    # older checkpoints predate the slot allocator: reconstruct the
+    # round-robin state they were written under (equivalent when no
+    # keyframe removal was in flight)
+    slot_info = meta.get("slot_info")
+    R = len(slam._slot_info)
+    if slot_info is None:
+        slam._slot_info = [None] * R
+        for seq in range(max(0, slam.append_count - R), slam.append_count):
+            slam._slot_info[seq % R] = {
+                "seq": seq,
+                "sources": [],  # unknown; treated as dead (pre-allocator FIFO)
+            }
+    else:
+        slam._slot_info = [
+            None if v is None else {"seq": v[0], "sources": list(v[1])}
+            for v in slot_info
+        ]

@@ -51,6 +51,14 @@ def generate_patches_grid_grad(
     """
     num_grid = grid_size * grid_size
     grid_M = M // num_grid
+    if grid_M == 0:
+        raise ValueError(
+            f"PATCH_GEN=grid_grad_{grid_size} needs PATCHES_PER_FRAME >= "
+            f"{num_grid} (one patch per grid cell); got M={M}. Use a "
+            f"smaller grid (e.g. grid_grad_{max(1, int(M ** 0.5))}) or "
+            "more patches. (The reference fails the same way, "
+            "batrack.py:280-317, with a shape error instead.)"
+        )
     n_cand = num_expand * grid_M
     h_grid, w_grid = ht // grid_size, wd // grid_size
 

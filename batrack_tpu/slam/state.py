@@ -55,11 +55,26 @@ class SLAMState(NamedTuple):
     win_depths: jnp.ndarray      # (S_slam, H, W) float32
 
 
+def ring_slots_for(slam) -> int:
+    """Edge-ring capacity in append blocks.
+
+    Without keyframe removal, n advances kf_stride per append, so a block's
+    sources leave the REMOVAL_WINDOW after REMOVAL_WINDOW/kf_stride turns.
+    With use_keyframe, removals stall n while appends continue (one per
+    frame during a pause, batrack.py:990,1026-1073) — each in-flight removal
+    keeps one extra append block live, so reserve KEYFRAME_RING_EXTRA more.
+    """
+    base = slam.REMOVAL_WINDOW // slam.kf_stride
+    if getattr(slam, "use_keyframe", False):
+        return base + getattr(slam, "KEYFRAME_RING_EXTRA", 8)
+    return base
+
+
 def init_state(cfg: Config, ht: int, wd: int) -> SLAMState:
     slam = cfg.slam
     N, M = slam.BUFFER_SIZE, slam.PATCHES_PER_FRAME
     S_local = slam.S_local
-    ring = slam.REMOVAL_WINDOW // slam.kf_stride
+    ring = ring_slots_for(slam)
     edges_per_slot = (slam.S_slam // slam.kf_stride) * M * slam.S_slam
     E = ring * edges_per_slot
 
@@ -116,7 +131,7 @@ class StaticDims(NamedTuple):
             S_slam=slam.S_slam,
             S_local=slam.S_local,
             kf_stride=slam.kf_stride,
-            ring_slots=slam.REMOVAL_WINDOW // slam.kf_stride,
+            ring_slots=ring_slots_for(slam),
             edges_per_slot=n_src * slam.PATCHES_PER_FRAME * slam.S_slam,
             n_src=n_src,
             window=max(slam.OPTIMIZATION_WINDOW, slam.num_init) + 1,

@@ -61,6 +61,16 @@ class BATrack:
         self.n = 0               # frames in buffer
         self.counter = 0         # total frames seen
         self.append_count = 0    # ring appends so far
+        # per-ring-slot host bookkeeping: (append seq, live source frames).
+        # The reference keeps an edge block until ALL its source frames fall
+        # behind n - REMOVAL_WINDOW (batrack.py:1020-1024); under keyframe
+        # removal n stalls while appends continue, so blind FIFO reuse would
+        # overwrite blocks the reference still optimizes over. The allocator
+        # only reuses dead (fully-pruned) or empty slots, FIFO among them —
+        # which reduces exactly to round-robin when use_keyframe is off.
+        self._slot_info: List[Optional[dict]] = [
+            None for _ in range(self.dims.ring_slots)
+        ]
         self.is_initialized = False
         self.tlist: List = []
         self.delta: Dict[int, Tuple[int, np.ndarray]] = {}  # keyframe removals
@@ -334,6 +344,49 @@ class BATrack:
         )
         return True
 
+    def _alloc_slot(self) -> int:
+        """Pick the edge-ring slot for this append (see _slot_info).
+
+        A slot is reusable when empty or when all its source frames are
+        outside the REMOVAL_WINDOW (its edges are masked out of every BA and
+        motionmag already). FIFO among reusable slots keeps the no-keyframe
+        path bit-identical to the previous round-robin policy.
+        """
+        dims, slam = self.dims, self.cfg.slam
+        dead_n = self.n - slam.REMOVAL_WINDOW
+        best, best_seq = None, None
+        for idx, info in enumerate(self._slot_info):
+            if info is None:
+                seq = -1
+            elif all(s < dead_n for s in info["sources"]):
+                seq = info["seq"]
+            else:
+                continue
+            if best is None or seq < best_seq:
+                best, best_seq = idx, seq
+        if best is None:
+            # ring over capacity (more in-flight removals than
+            # KEYFRAME_RING_EXTRA): overwrite the stalest live slot
+            import logging
+
+            best = min(
+                range(len(self._slot_info)),
+                key=lambda i: self._slot_info[i]["seq"],
+            )
+            logging.getLogger(__name__).warning(
+                "edge ring over capacity (%d slots, all live); overwriting "
+                "the oldest — raise slam.KEYFRAME_RING_EXTRA for exact "
+                "reference-window semantics", dims.ring_slots,
+            )
+        S = min(self.n, dims.S_slam)
+        sources = [
+            self.n - S + qs * dims.kf_stride
+            for qs in range(dims.n_src)
+            if qs * dims.kf_stride < S
+        ]
+        self._slot_info[best] = {"seq": self.append_count, "sources": sources}
+        return best
+
     def _track_append(self) -> None:
         if self.tracker is None:
             raise RuntimeError("no tracker configured")
@@ -348,7 +401,7 @@ class BATrack:
             shift = self.n - self._last_append_n
         if hasattr(self.tracker, "reuse_hint"):
             self.tracker.reuse_hint = shift
-        slot = self.append_count % self.dims.ring_slots
+        slot = self._alloc_slot()
         sync_on = self.sync_stages
         if self._ensure_fused_append():
             ad = self.tracker
@@ -444,6 +497,13 @@ class BATrack:
                 self.state = self._remove_win(self.state, jnp.asarray(win_idx))
             self.n -= 1
             self._last_append_n = None  # window contents changed; drop cache
+            # mirror the buffer shift in the slot source bookkeeping: frame k
+            # is gone (its edges got e_valid=0), frames above slide down
+            for info in self._slot_info:
+                if info is not None:
+                    info["sources"] = [
+                        s - (s > k) for s in info["sources"] if s != k
+                    ]
 
     # ------------------------------------------------------------------
     def world_trajectories(self) -> "jnp.ndarray":

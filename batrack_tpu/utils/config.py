@@ -58,6 +58,13 @@ class SlamConfig:
     backward_tracking: bool = True
     use_static_all: bool = True
     use_keyframe: bool = False
+    # extra edge-ring slots reserved when use_keyframe: a keyframe removal
+    # stalls the frame counter while appends continue, so appends stay inside
+    # the REMOVAL_WINDOW source predicate (batrack.py:1020-1024) longer than
+    # REMOVAL_WINDOW/kf_stride ring turns — each in-flight removal needs one
+    # extra live slot. Sized for bursts of up to this many removals; beyond
+    # it the allocator overwrites the stalest live slot and warns.
+    KEYFRAME_RING_EXTRA: int = 8
 
     # BA backend: 'slot' = dense slot-structured solver (TPU fast path),
     # 'flat' = general masked-edge solver

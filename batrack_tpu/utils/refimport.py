@@ -83,9 +83,13 @@ def install_reference_stubs() -> None:
         def forward(self, x):
             return self.fc2(self.act(self.fc1(x)))
 
-    tm = types.ModuleType("timm")
-    tmm = types.ModuleType("timm.models")
-    tmv = types.ModuleType("timm.models.vision_transformer")
+    # merge-additive: other reference-import harnesses (e.g. the UniDepth
+    # suite) install their own timm/torchvision stub surfaces — extend
+    # whatever is present rather than clobbering it
+    tm = sys.modules.get("timm") or types.ModuleType("timm")
+    tmm = sys.modules.get("timm.models") or types.ModuleType("timm.models")
+    tmv = (sys.modules.get("timm.models.vision_transformer")
+           or types.ModuleType("timm.models.vision_transformer"))
     tmv.Attention = Attention
     tmv.Mlp = Mlp
     tmm.vision_transformer = tmv
@@ -93,8 +97,20 @@ def install_reference_stubs() -> None:
     sys.modules.update({"timm": tm, "timm.models": tmm,
                         "timm.models.vision_transformer": tmv})
 
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tvt = types.ModuleType("torchvision.transforms")
-        tv.transforms = tvt
-        sys.modules.update({"torchvision": tv, "torchvision.transforms": tvt})
+    tv = sys.modules.get("torchvision") or types.ModuleType("torchvision")
+    tvt = (sys.modules.get("torchvision.transforms")
+           or types.ModuleType("torchvision.transforms"))
+
+    class Compose:  # Depth-Anything dpt.py imports it at module scope
+        def __init__(self, transforms):
+            self.transforms = transforms
+
+        def __call__(self, x):
+            for t in self.transforms:
+                x = t(x)
+            return x
+
+    if not hasattr(tvt, "Compose"):
+        tvt.Compose = Compose
+    tv.transforms = tvt
+    sys.modules.update({"torchvision": tv, "torchvision.transforms": tvt})

@@ -121,15 +121,30 @@ def main() -> int:
     cfg = Config()  # davis_demo defaults: BUFFER_SIZE=1024, M=400, ITER=4
     backend = jax.default_backend()
 
+    # --mesh N: run the PRODUCTION MULTI-CHIP CODE PATH (shard_map kernels,
+    # sharded slot BA, mesh tracker adapter) over N devices. N=1 on the real
+    # chip measures the per-chip overhead of the mesh machinery vs mesh=None
+    # (VERDICT r3 #1) — the only part of the scaling story measurable on a
+    # single-chip tunnel.
+    mesh_n = 0
+    if "--mesh" in sys.argv:
+        mesh_n = int(sys.argv[sys.argv.index("--mesh") + 1])
+    mesh = None
+    if mesh_n:
+        from batrack_tpu.parallel import get_mesh
+
+        mesh = get_mesh(mesh_n, ("track",))
+
     images, depths, _ = make_scene(T, HT, WD, INTR, se3, jnp)
 
-    slam = BATrack(cfg, HT, WD, seed=0)
+    slam = BATrack(cfg, HT, WD, seed=0, mesh=mesh)
     # backward tracking only when the SLAM window exceeds the tracker window
     # (batrack.py:570; 12 == 12 in davis_demo, so it is OFF in production)
     slam.tracker = MDTrackerAdapter(
         cfg.model,
         backward_tracking=cfg.slam.backward_tracking
         and cfg.slam.S_slam > cfg.model.S,
+        mesh=mesh,
     )
 
     # ---- phase 1: e2e FPS, fully async (compile + init excluded) ----------

@@ -160,6 +160,55 @@ def main():
         dt = (time.time() - t0) / reps * 1000
         print(f"  {name} bf16: {dt:.2f} ms/block")
 
+    # ---- shard_map-wrapped kernels on HARDWARE (1-device ("track",) mesh):
+    # parity + per-chip cost of the multi-chip code path vs the plain
+    # kernels (VERDICT r3 #1 — the one measurable piece of the scaling
+    # story on a single-chip tunnel). The wrapper adds pad/mask plumbing
+    # and, for attention, the all-gather machinery even at n_devices=1.
+    from batrack_tpu.parallel import get_mesh
+    from batrack_tpu.parallel.shard_kernels import (
+        corr_sample_pyramid_sharded, fused_qkv_attention_sharded)
+
+    mesh1 = get_mesh(1, ("track",))
+
+    def timed_ms(fn, sync, reps=reps, warmup=2):
+        for _ in range(warmup):
+            o = fn()
+        sync(o)
+        t0 = time.time()
+        for _ in range(reps):
+            o = fn()
+        sync(o)
+        return (time.time() - t0) / reps * 1000
+
+    # corr: plain vs sharded on the SAME inputs
+    tgt_tm = jnp.moveaxis(targets, 0, 1)  # (N, S, C) track-major
+    plain_corr = jax.jit(
+        lambda: corr_sample_pyramid_pallas(pyr, tgt_tm, coords, 3))
+    shard_corr = jax.jit(
+        lambda: corr_sample_pyramid_sharded(pyr, tgt_tm, coords, 3, mesh1))
+    c_p, c_s = plain_corr(), shard_corr()
+    err = float(jnp.abs(c_p - c_s).max())
+    ms_p = timed_ms(plain_corr, lambda o: float(o[0, 0, 0]))
+    ms_s = timed_ms(shard_corr, lambda o: float(o[0, 0, 0]))
+    print(f"sharded corr (1-dev mesh) vs plain: abs {err:.2e}; "
+          f"{ms_s:.2f} vs {ms_p:.2f} ms "
+          f"({(ms_s / ms_p - 1) * 100:+.1f}% mesh overhead)")
+
+    # attention: plain fused vs sharded fused, bf16 production dtype
+    plain_att = jax.jit(lambda: fused_qkv_attention(qkv16, Hh, scale_a))
+    shard_att = jax.jit(
+        lambda: fused_qkv_attention_sharded(qkv16, Hh, scale_a, mesh1))
+    a_p, a_s = plain_att(), shard_att()
+    err = float(jnp.abs(a_p.astype(jnp.float32)
+                        - a_s.astype(jnp.float32)).max())
+    sync_a = lambda o: float(o[0, 0, 0].astype(jnp.float32))  # noqa: E731
+    ms_p = timed_ms(plain_att, sync_a)
+    ms_s = timed_ms(shard_att, sync_a)
+    print(f"sharded fused qkv (1-dev mesh) vs plain bf16: abs {err:.2e}; "
+          f"{ms_s:.2f} vs {ms_p:.2f} ms "
+          f"({(ms_s / ms_p - 1) * 100:+.1f}% mesh overhead)")
+
 
 if __name__ == "__main__":
     main()

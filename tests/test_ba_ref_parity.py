@@ -67,8 +67,17 @@ class _SE3:
     def shape(self):
         return self.data.shape[:-1]
 
+    @property
+    def device(self):
+        return self.data.device
+
     def __getitem__(self, idx):
         return _SE3(self.data[idx])
+
+    def __setitem__(self, idx, value):
+        # pops.transform(tonly=True) zeroes the rotation by writing into the
+        # group's raw data (projective_ops.py:63-64)
+        self.data[idx] = value
 
     def inv(self):
         t, q = self.data[..., :3], self.data[..., 3:]

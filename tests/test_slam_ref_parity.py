@@ -57,6 +57,7 @@ T_FRAMES = 32
 M = 64
 S_SLAM, KF = 4, 2
 NUM_INIT = 4
+KF_INDEX, KF_THRESH = 3, 1.0  # keyframe-removal knobs (stop-and-go test)
 
 
 class _CudaToCpu(torch.overrides.TorchFunctionMode):
@@ -123,7 +124,7 @@ def _install_loop_stubs():
             sys.path.insert(0, p)
 
 
-def _ref_cfg(tmpdir):
+def _ref_cfg(tmpdir, use_keyframe=False):
     slam = _C(
         MOTION_MODEL="DAMPED_LINEAR", MOTION_DAMPING=0.5, BA_mode="rgbd_dual_ba",
         REMOVAL_WINDOW=6, OPTIMIZATION_WINDOW=5, PATCHES_PER_FRAME=M,
@@ -131,14 +132,17 @@ def _ref_cfg(tmpdir):
         USE_MAP_FILTERING=True, MAP_FILTERING_TH=5.0, MIN_TRACK_LEN=2,
         TRAJ_INIT=False, VIS_THRESHOLD=0.9, STATIC_THRESHOLD=0.1,
         STATIC_QUANTILE=0.0, S_slam=S_SLAM, kf_stride=KF, num_init=NUM_INIT,
-        backward_tracking=False, use_keyframe=False,
+        backward_tracking=False, use_keyframe=use_keyframe,
+        # KEYFRAME_INDEX must be 1 mod kf_stride or removal never fires
+        # (the reference's own parity trap, batrack.py:1029-1031)
+        KEYFRAME_INDEX=KF_INDEX, KEYFRAME_THRESH=KF_THRESH,
     )
     model = _C(S=S_SLAM, mode="md_tracker", I=4)
     data = _C(savedir=str(tmpdir), name="parity")
     return _C(slam=slam, model=model, data=data)
 
 
-def _our_cfg() -> Config:
+def _our_cfg(use_keyframe=False) -> Config:
     cfg = Config()
     s = cfg.slam
     s.BUFFER_SIZE = 64
@@ -152,6 +156,9 @@ def _our_cfg() -> Config:
     s.MIN_TRACK_LEN = 2
     s.ITER = 2
     s.BA_EP = 10.0  # the reference hardcodes ep=10 (batrack.py:861)
+    s.use_keyframe = use_keyframe
+    s.KEYFRAME_INDEX = KF_INDEX
+    s.KEYFRAME_THRESH = KF_THRESH
     return cfg
 
 
@@ -192,9 +199,9 @@ DYN_KW = dict(
 )
 
 
-def _run_ours(scene, oracle_kw):
+def _run_ours(scene, oracle_kw, use_keyframe=False):
     poses_gt, depths, images = scene
-    cfg = _our_cfg()
+    cfg = _our_cfg(use_keyframe)
     dims = StaticDims.from_config(cfg, HT, WD)
     slam = BATrack(cfg, HT, WD, seed=0)
     slam.tracker = OracleTracker(poses_gt, INTR, dims, seed=1, **oracle_kw)
@@ -210,15 +217,15 @@ def _run_ours(scene, oracle_kw):
             slam(t, images[t], depths[t], INTR)
     finally:
         ingest_mod.generate_patches_sift = orig
-    return slam.terminate()
+    return slam.terminate() + (sorted(slam.delta.keys()),)
 
 
-def _run_reference(scene, tmpdir, oracle_kw):
+def _run_reference(scene, tmpdir, oracle_kw, use_keyframe=False):
     poses_gt, depths, images = scene
     _install_loop_stubs()
     from main.batrack import BATRACK
 
-    cfg = _our_cfg()
+    cfg = _our_cfg(use_keyframe)
     dims = StaticDims.from_config(cfg, HT, WD)
     oracle = OracleTracker(poses_gt, INTR, dims, seed=1, **oracle_kw)
     grid = _grid_coords()
@@ -238,7 +245,12 @@ def _run_reference(scene, tmpdir, oracle_kw):
         # queries (1, NQ, 4) [sid, x, y, depth]
         S_pad = rgbds.shape[1]
         S_win = len(self.local_window)
-        ids = list(range(self.n - S_win, self.n)) + [self.n - 1] * (S_pad - S_win)
+        # window-frame GLOBAL timestamps: after keyframe removal the buffer
+        # rows are not the frame counters, so read tstamps_ (no-removal runs
+        # reduce to range(n - S_win, n))
+        ids = [int(self.tstamps_[i].item())
+               for i in range(self.n - S_win, self.n)]
+        ids += [ids[-1]] * (S_pad - S_win)
         nq = queries.shape[1]
         tin = TrackerInput(
             window_rgbd=jnp.asarray(rgbds[0].numpy()),
@@ -264,12 +276,12 @@ def _run_reference(scene, tmpdir, oracle_kw):
     BATRACK._compute_sparse_tracks = _compute_sparse_tracks
 
     with _CudaToCpu():
-        slam = BATRACK(_ref_cfg(tmpdir), ht=HT, wd=WD)
+        slam = BATRACK(_ref_cfg(tmpdir, use_keyframe), ht=HT, wd=WD)
         for t in range(T_FRAMES):
             img = torch.from_numpy(images[t]).permute(2, 0, 1)  # (3, H, W)
             dep = torch.from_numpy(depths[t])[None]             # (1, H, W)
             slam(t, img, dep, torch.tensor(INTR))
-        return slam.terminate()
+        return slam.terminate() + (sorted(slam.delta.keys()),)
 
 
 # measured f32 round-off drift between the two implementations: the max
@@ -283,8 +295,9 @@ DRIFT_PER_FRAME = 1.2e-4  # 3x margin over the measured slope
     "oracle_kw,scale", [({}, 1.0), (DYN_KW, 2.0)], ids=["static", "dynamic"]
 )
 def test_full_loop_trajectory_matches_reference(scene, tmp_path, oracle_kw, scale):
-    poses_ref, ts_ref = _run_reference(scene, tmp_path, oracle_kw)
-    poses_our, ts_our = _run_ours(scene, oracle_kw)
+    poses_ref, ts_ref, delta_ref = _run_reference(scene, tmp_path, oracle_kw)
+    poses_our, ts_our, delta_our = _run_ours(scene, oracle_kw)
+    assert delta_ref == delta_our == []
     assert poses_ref.shape == poses_our.shape == (T_FRAMES, 7)
     np.testing.assert_array_equal(ts_ref, ts_our)
     bound = scale * DRIFT_PER_FRAME * np.maximum(np.arange(T_FRAMES), 2)
@@ -298,5 +311,65 @@ def test_full_loop_trajectory_matches_reference(scene, tmp_path, oracle_kw, scal
     # and both recover the ground truth (sanity: the comparison is not
     # between two equally-broken trajectories)
     gt_c2w = np.asarray(se3.inv(jnp.asarray(scene[0])))
+    ate = np.sqrt(np.mean(np.sum((poses_our[:, :3] - gt_c2w[:, :3]) ** 2, -1)))
+    assert ate < 0.2, ate
+
+
+@pytest.fixture(scope="module")
+def scene_stopgo():
+    """Stop-and-go trajectory: two full pauses so the motion-magnitude
+    keyframe removal (batrack.py:1026-1073) actually fires."""
+    vel = np.ones(T_FRAMES, np.float32)
+    vel[10:17] = 0.0
+    vel[24:31] = 0.0
+    ts = np.concatenate([[0.0], np.cumsum(vel)[:-1]]).astype(np.float32)
+    xi = np.stack(
+        [0.06 * ts, 0.03 * np.sin(ts * 0.3), 0.015 * ts,
+         0.008 * np.sin(ts * 0.2), 0.012 * np.cos(ts * 0.25) - 0.012, 0 * ts], -1)
+    poses_gt = np.asarray(se3.exp(jnp.asarray(xi)), np.float32)
+    fx, fy, cx, cy = INTR
+    u, v = np.meshgrid(np.arange(WD), np.arange(HT))
+    dirc = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u, np.float32)], -1)
+
+    def plane_depth(p):
+        c2w = np.asarray(se3.inv(jnp.asarray(p)))
+        R = np.asarray(se3.matrix(jnp.asarray(c2w)))[:3, :3]
+        return ((PLANE_Z - c2w[2]) / (dirc @ R.T)[..., 2]).astype(np.float32)
+
+    depths = np.stack([plane_depth(p) for p in poses_gt])
+    rng = np.random.default_rng(7)
+    images = rng.uniform(0, 255, (T_FRAMES, HT, WD, 3)).astype(np.float32)
+    return poses_gt, depths, images
+
+
+def test_keyframe_removal_matches_reference(scene_stopgo, tmp_path):
+    """use_keyframe=True on a stop-and-go scene: the motion-magnitude
+    removal, buffer shift, delta relpose memos (batrack.py:1026-1073) and
+    terminate-time interpolation (batrack.py:898-915, 223-228) all compared
+    against the reference loop. Requires >= 3 actual removals."""
+    poses_ref, ts_ref, delta_ref = _run_reference(
+        scene_stopgo, tmp_path, {}, use_keyframe=True
+    )
+    poses_our, ts_our, delta_our = _run_ours(scene_stopgo, {}, use_keyframe=True)
+
+    # the same keyframes must have been removed, and enough of them that the
+    # shift/memo machinery was genuinely exercised
+    assert delta_ref == delta_our, (delta_ref, delta_our)
+    assert len(delta_ref) >= 3, f"only {len(delta_ref)} removals; scene too easy"
+
+    # terminate() reconstructs ALL counter frames (removed ones via delta)
+    assert poses_ref.shape == poses_our.shape == (T_FRAMES, 7)
+    np.testing.assert_array_equal(ts_ref, ts_our)
+
+    bound = 2.0 * DRIFT_PER_FRAME * np.maximum(np.arange(T_FRAMES), 2)
+    t_diff = np.abs(poses_ref[:, :3] - poses_our[:, :3]).max(axis=1)
+    q_ref, q_our = poses_ref[:, 3:], poses_our[:, 3:]
+    q_diff = np.abs(
+        q_ref - q_our * np.sign((q_ref * q_our).sum(-1, keepdims=True))
+    ).max(axis=1)
+    assert (t_diff < bound).all(), f"translation diverges: {t_diff.max()}"
+    assert (q_diff < bound).all(), f"rotation diverges: {q_diff.max()}"
+
+    gt_c2w = np.asarray(se3.inv(jnp.asarray(scene_stopgo[0])))
     ate = np.sqrt(np.mean(np.sum((poses_our[:, :3] - gt_c2w[:, :3]) ** 2, -1)))
     assert ate < 0.2, ate

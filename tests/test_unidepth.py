@@ -49,23 +49,47 @@ def _install_stubs():
     sys.modules.update({"xformers": xf, "xformers.components": comp,
                         "xformers.components.attention": att})
 
-    tv = types.ModuleType("torchvision")
-    tvt = types.ModuleType("torchvision.transforms")
+    # merge-additive with batrack_tpu.utils.refimport.install_reference_stubs
+    # (the Depth-Anything suite needs transforms.Compose on the same stub)
+    tv = sys.modules.get("torchvision") or types.ModuleType("torchvision")
+    tvt = (sys.modules.get("torchvision.transforms")
+           or types.ModuleType("torchvision.transforms"))
     tvf = types.ModuleType("torchvision.transforms.functional")
-    tvf.normalize = lambda t, mean, std: t  # only reached by .infer, unused
+    def _tv_normalize(t, mean, std):
+        # real torchvision semantics: the full-infer parity suite drives
+        # UniDepthV2.infer, which normalizes through this call
+        mean = torch.as_tensor(mean, dtype=t.dtype).view(-1, 1, 1)
+        std = torch.as_tensor(std, dtype=t.dtype).view(-1, 1, 1)
+        return (t - mean) / std
+
+    tvf.normalize = _tv_normalize
     tvt.functional = tvf
     tv.transforms = tvt
     sys.modules.update({"torchvision": tv, "torchvision.transforms": tvt,
                         "torchvision.transforms.functional": tvf})
 
-    tm = types.ModuleType("timm")
-    tmm = types.ModuleType("timm.models")
+    tm = sys.modules.get("timm") or types.ModuleType("timm")
+    tmm = sys.modules.get("timm.models") or types.ModuleType("timm.models")
     tml = types.ModuleType("timm.models.layers")
     tml.trunc_normal_ = torch.nn.init.trunc_normal_
+    tml.DropPath = torch.nn.Identity
     tmm.layers = tml
     tm.models = tmm
+    # timm.layers surface imported (never constructed) by the vendored
+    # ConvNeXt backbone the full-model import chain pulls in
+    tl = types.ModuleType("timm.layers")
+    for name in ("AvgPool2dSame", "GlobalResponseNormMlp", "LayerNorm",
+                 "LayerNorm2d", "Mlp"):
+        setattr(tl, name, torch.nn.Identity)
+    tl.DropPath = torch.nn.Identity
+    tl.create_conv2d = lambda *a, **k: torch.nn.Identity()
+    tl.get_act_layer = lambda name: torch.nn.GELU
+    tl.make_divisible = lambda v, divisor=8, **k: v
+    tl.to_ntuple = lambda n: (lambda x: (x,) * n)
+    tl.trunc_normal_ = torch.nn.init.trunc_normal_
+    tm.layers = tl
     sys.modules.update({"timm": tm, "timm.models": tmm,
-                        "timm.models.layers": tml})
+                        "timm.models.layers": tml, "timm.layers": tl})
 
 
 def _reference_decoder():
