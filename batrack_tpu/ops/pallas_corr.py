@@ -50,7 +50,7 @@ _FUSE_BUDGET_BYTES = 4 * 1024 * 1024
 
 
 def _corr_kernel_multi(coords_ref, targets_ref, *refs, radius, block_n,
-                       out_dim, dims, scales, group=GROUP):
+                       out_dim, dims, scales, group=GROUP, contract="vpu"):
     """One (frame, track-block) program over `len(dims)` pyramid levels.
 
     refs = fmap_ref per level, then out_ref per level. coords are at the
@@ -102,10 +102,23 @@ def _corr_kernel_multi(coords_ref, targets_ref, *refs, radius, block_n,
         off = xi - xa              # in [0, 8)
 
         win = fmap_ref[0, pl.ds(yi, D), pl.ds(xa, SLAB), :]  # (D, SLAB, C)
-        corr = jnp.sum(
-            win.astype(jnp.float32) * tg_k[None, None, :],
-            axis=-1,
-        ) * inv                                              # (D, SLAB)
+        if contract == "mxu":
+            # channel contraction as an MXU matvec: (D, SLAB, C) @ (C, 1)
+            # bf16 inputs, f32 accumulate — vs the VPU path's cross-lane
+            # reduction (log2(C) shuffle steps per window row)
+            # minor-dim insertion must happen on the 32-bit value (Mosaic
+            # rejects (C,)->(C,1) reshapes of bf16); cast after
+            corr = jax.lax.dot_general(
+                win,
+                tg_k[:, None].astype(win.dtype),
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[..., 0] * inv                                  # (D, SLAB)
+        else:
+            corr = jnp.sum(
+                win.astype(jnp.float32) * tg_k[None, None, :],
+                axis=-1,
+            ) * inv                                          # (D, SLAB)
 
         # horizontal: select cols off..off+d and blend with dx in one
         # matmul  (SLAB, d): S[p, q] = (1-dx)[p==q+off] + dx[p==q+off+1]
@@ -170,6 +183,7 @@ def corr_sample_levels_pallas(
     block_n: int = 256,
     group: int = GROUP,                 # static track unroll per loop step
     interpret: bool = False,
+    contract: str = "vpu",              # channel contraction: "vpu" | "mxu"
 ) -> Sequence[jnp.ndarray]:
     """Fused correlation sampling for a group of pyramid levels.
 
@@ -209,6 +223,7 @@ def corr_sample_levels_pallas(
         functools.partial(
             _corr_kernel_multi, radius=radius, block_n=block_n,
             out_dim=out_dim, dims=dims, scales=tuple(scales), group=group,
+            contract=contract,
         ),
         grid=grid,
         in_specs=[
@@ -272,6 +287,7 @@ def corr_sample_pyramid_pallas(
     group: int = GROUP,
     block_n: int = 256,
     interpret: bool = False,
+    contract: str = "vpu",
 ) -> jnp.ndarray:
     """ops.corr.corr_sample_pyramid in the track-major (N, S, LRR) layout.
 
@@ -304,6 +320,7 @@ def corr_sample_pyramid_pallas(
                 fms, targets, coords / (2.0 ** start), radius,
                 scales=[0.5 ** l for l in range(len(fms))],
                 block_n=block_n, group=group, interpret=interpret,
+                contract=contract,
             )
         )
     return jnp.concatenate(outs, axis=-1)

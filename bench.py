@@ -273,7 +273,12 @@ def main() -> int:
         "mfu": round(mfu, 4),
         "notes": "vs_baseline null: reference publishes no FPS "
                  "(BASELINE.md); reference_fps_estimate is a guess, not a "
-                 "measurement. Measured on one TPU v5e chip via tunnel; "
+                 "measurement. Measured software anchor (r4, "
+                 "scripts/ref_cpu_ab.py): the full reference loop vs ours "
+                 "on identical CPU/scene/config = 4.96 vs 4.23 FPS (0.85x "
+                 "— our static-shape padding costs real cycles on CPU but "
+                 "is free on TPU lanes; see ROOFLINE.md Reference "
+                 "comparison). Measured on one TPU v5e chip via tunnel; "
                  "BASELINE.md target hardware is a v5p host. stage_ms are "
                  "amortised per-stage device times (single flush per rep "
                  "loop); predicted vs measured ms/2frames is the "

@@ -164,6 +164,16 @@ def test_pallas_corr_matches_xla(rng):
         np.moveaxis(np.asarray(out), 0, 1), np.asarray(ref), atol=2e-2
     )
 
+    # contract="mxu" variant (measured-negative on hardware, kept for the
+    # record — ROOFLINE.md r4): same semantics, bf16-target tolerance
+    out_mxu = corr_sample_pyramid_pallas(
+        pyr, jnp.moveaxis(targets, 0, 1), coords, 3, interpret=True,
+        contract="mxu",
+    )
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(out_mxu), 0, 1), np.asarray(ref), atol=3e-2
+    )
+
 
 def test_fused_qkv_attention_matches_dense(rng):
     """Packed-qkv Pallas attention (interpret mode) == dense multi-head
@@ -202,6 +212,12 @@ def test_fused_qkv_attention_matches_dense(rng):
     out_m = fused_qkv_attention(
         qkv, H, scale, interpret=True, key_mask=jnp.asarray(mask))
     np.testing.assert_allclose(np.asarray(out_m), ref_m, atol=2e-5)
+
+    # slim (B, Nk, 2C) K/V-only kv source (what the track-sharded wrapper
+    # all-gathers, parallel/shard_kernels.py) == the full packed-qkv source
+    out_slim = fused_qkv_attention(
+        qkv, H, scale, interpret=True, kv=qkv[:, :, C:])
+    np.testing.assert_allclose(np.asarray(out_slim), ref, atol=2e-5)
 
 
 def test_chunked_attention_key_mask_matches_dense(rng):
