@@ -38,11 +38,11 @@ def _fused_qkv_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale, n_valid,
     C = q_ref.shape[-1]
     d = C // heads
     # qk_bf16: feed the logits matmul in the activations' own bf16 (f32
-    # accumulate via preferred_element_type). The f32 upcast path makes
-    # Mosaic emit a multi-pass f32 MXU matmul at a fraction of the bf16
-    # rate; the bf16 dot is ~2x faster at the production shape
-    # (scripts/attn_ab.py) and only perturbs logits below the bf16
-    # round-off already accepted on the P*V side.
+    # accumulate via preferred_element_type). Measured a WASH on hardware
+    # (scripts/attn_ab.py, 2026-08-20: f32 2.973 vs bf16 3.011 ms/block —
+    # the kernel is softmax/VPU-bound at K=48, not MXU-pass-bound;
+    # ROOFLINE.md r4 #1). Kept as an option for future shapes where the
+    # QK pass dominates; off by default.
     qk_t = jnp.bfloat16 if qk_bf16 else jnp.float32
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)

@@ -44,12 +44,26 @@ def save_slam_state(slam: "BATrack", path: str) -> None:
 def load_slam_state(slam: "BATrack", path: str) -> None:
     data = np.load(path, allow_pickle=False)
     fields = {}
+    ring_fields = {"e_kk", "e_jj", "e_target", "e_weight", "e_weight_pose",
+                   "e_valid", "e_static", "slot_start"}
     for k in SLAMState._fields:
         arr = data[f"state_{k}"]
         cur = getattr(slam.state, k)
         if arr.shape != cur.shape:
+            hint = ""
+            if k in ring_fields:
+                # edge-ring capacity depends on REMOVAL_WINDOW/kf_stride AND
+                # on use_keyframe (+KEYFRAME_RING_EXTRA, state.py::
+                # ring_slots_for) — the usual cause of this mismatch
+                hint = (
+                    " (edge-ring capacity differs: it is set by "
+                    "REMOVAL_WINDOW/kf_stride and, when use_keyframe is on, "
+                    "+KEYFRAME_RING_EXTRA — load with the same slam config "
+                    "the checkpoint was saved under)"
+                )
             raise ValueError(
-                f"checkpoint field {k} shape {arr.shape} != config shape {cur.shape}"
+                f"checkpoint field {k} shape {arr.shape} != config shape "
+                f"{cur.shape}{hint}"
             )
         fields[k] = jnp.asarray(arr)
     slam.state = SLAMState(**fields)

@@ -128,7 +128,13 @@ def main() -> int:
     # single-chip tunnel.
     mesh_n = 0
     if "--mesh" in sys.argv:
-        mesh_n = int(sys.argv[sys.argv.index("--mesh") + 1])
+        idx = sys.argv.index("--mesh")
+        try:
+            mesh_n = int(sys.argv[idx + 1])
+        except (IndexError, ValueError):
+            print("usage: bench.py [--mesh N]  (N = mesh device count)",
+                  file=sys.stderr)
+            return 2
     mesh = None
     if mesh_n:
         from batrack_tpu.parallel import get_mesh

@@ -51,7 +51,7 @@ def main():
 
     # current production kernel
     cur = jax.jit(lambda: corr_sample_pyramid_pallas(
-        pyr, jnp.moveaxis(targets.astype(jnp.float32), 0, 0), coords, 3))
+        pyr, targets.astype(jnp.float32), coords, 3))
     print(f"current pallas pyramid gather: {timeit(cur):7.3f} ms")
 
     # candidate pass 1: per-level einsum into bf16 volumes

@@ -170,3 +170,33 @@ def test_preprocess_shapes(rng):
     x = preprocess(img, input_size=518)
     assert x.shape[1] % 14 == 0 and x.shape[2] % 14 == 0
     assert min(x.shape[1], x.shape[2]) >= 518
+
+
+def test_torch_bicubic_matrix_matches_interpolate(rng):
+    """_torch_bicubic_matrix == F.interpolate bicubic (A=-0.75, no
+    antialias) in BOTH conventions the two DINOv2 variants use: size mode
+    (UniDepth, offset 0.0) and scale-factor mode (DepthAnything's +0.1
+    kludge, dinov2.py:191-203) — upscale and downscale."""
+    import torch.nn.functional as F
+
+    from batrack_tpu.depth.dpt import _torch_bicubic_matrix
+
+    x = rng.normal(size=(1, 5, 37, 37)).astype(np.float32)
+    xt = torch.from_numpy(x)
+    for hout, wout in [(10, 13), (50, 41)]:
+        # size mode
+        ref = F.interpolate(xt, size=(hout, wout), mode="bicubic",
+                            antialias=False).numpy()
+        Wh = _torch_bicubic_matrix(37, hout, 37 / hout)
+        Ww = _torch_bicubic_matrix(37, wout, 37 / wout)
+        ours = np.einsum("hm,bcmn,wn->bchw", Wh, x, Ww)
+        np.testing.assert_allclose(ours, ref, atol=1e-4)
+        # scale-factor mode with the DA2 +0.1 offset
+        sx, sy = (hout + 0.1) / 37, (wout + 0.1) / 37
+        ref2 = F.interpolate(xt, scale_factor=(sx, sy), mode="bicubic",
+                             antialias=False).numpy()
+        Wh2 = _torch_bicubic_matrix(37, hout, 1.0 / sx)
+        Ww2 = _torch_bicubic_matrix(37, wout, 1.0 / sy)
+        ours2 = np.einsum("hm,bcmn,wn->bchw", Wh2, x, Ww2)
+        assert ref2.shape == ours2.shape
+        np.testing.assert_allclose(ours2, ref2, atol=1e-4)

@@ -75,13 +75,14 @@ def test_full_forward_parity_pretrain_grid(nets, rng):
 
 def test_full_forward_parity_interpolated_grid(nets, rng):
     """280x392 (20x28 patches): exercises the pos-embed interpolation branch
-    (dinov2.py:179-211). torch bicubic (A=-0.75) vs jax bicubic (Keys,
-    A=-0.5) differ slightly; random-init pos_embed is ~N(0,1)-scale here
-    while the trained embedding is smooth, so this bound is the worst case
-    for the kernel mismatch, not typical inference error."""
+    (dinov2.py:179-211) — torch-EXACT bicubic since r4
+    (`_torch_bicubic_matrix`, A=-0.75, scale-factor mode with the +0.1
+    offset), so this grid is as tight as the no-interp one and guards the
+    interpolation semantics against regression (e.g. back to
+    jax.image.resize's Keys A=-0.5 kernel, which measured 5.8e-3 here)."""
     x = rng.normal(size=(1, 3, 280, 392)).astype(np.float32)
     ref, ours = _forward_both(nets, x)
     assert ref.shape == ours.shape == (1, 280, 392)
     scale = np.abs(ref).max()
     err = np.abs(ref - ours).max() / max(scale, 1e-6)
-    assert err < 2e-2, f"relative max err {err} (scale {scale})"  # measured 5.8e-3
+    assert err < 1e-5, f"relative max err {err} (scale {scale})"  # measured 2.2e-6

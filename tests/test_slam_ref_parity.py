@@ -173,24 +173,10 @@ def _grid_coords():
 
 @pytest.fixture(scope="module")
 def scene():
+    from batrack_tpu.utils.synth import parity_scene
+
     ts = np.arange(T_FRAMES, dtype=np.float32)
-    xi = np.stack(
-        [0.06 * ts, 0.03 * np.sin(ts * 0.3), 0.015 * ts,
-         0.008 * np.sin(ts * 0.2), 0.012 * np.cos(ts * 0.25) - 0.012, 0 * ts], -1)
-    poses_gt = np.asarray(se3.exp(jnp.asarray(xi)), np.float32)
-    fx, fy, cx, cy = INTR
-    u, v = np.meshgrid(np.arange(WD), np.arange(HT))
-    dirc = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u, np.float32)], -1)
-
-    def plane_depth(p):
-        c2w = np.asarray(se3.inv(jnp.asarray(p)))
-        R = np.asarray(se3.matrix(jnp.asarray(c2w)))[:3, :3]
-        return ((PLANE_Z - c2w[2]) / (dirc @ R.T)[..., 2]).astype(np.float32)
-
-    depths = np.stack([plane_depth(p) for p in poses_gt])
-    rng = np.random.default_rng(7)
-    images = rng.uniform(0, 255, (T_FRAMES, HT, WD, 3)).astype(np.float32)
-    return poses_gt, depths, images
+    return parity_scene(ts, HT, WD, INTR, se3, jnp, plane_z=PLANE_Z)
 
 
 DYN_KW = dict(
@@ -319,27 +305,13 @@ def test_full_loop_trajectory_matches_reference(scene, tmp_path, oracle_kw, scal
 def scene_stopgo():
     """Stop-and-go trajectory: two full pauses so the motion-magnitude
     keyframe removal (batrack.py:1026-1073) actually fires."""
+    from batrack_tpu.utils.synth import parity_scene
+
     vel = np.ones(T_FRAMES, np.float32)
     vel[10:17] = 0.0
     vel[24:31] = 0.0
     ts = np.concatenate([[0.0], np.cumsum(vel)[:-1]]).astype(np.float32)
-    xi = np.stack(
-        [0.06 * ts, 0.03 * np.sin(ts * 0.3), 0.015 * ts,
-         0.008 * np.sin(ts * 0.2), 0.012 * np.cos(ts * 0.25) - 0.012, 0 * ts], -1)
-    poses_gt = np.asarray(se3.exp(jnp.asarray(xi)), np.float32)
-    fx, fy, cx, cy = INTR
-    u, v = np.meshgrid(np.arange(WD), np.arange(HT))
-    dirc = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u, np.float32)], -1)
-
-    def plane_depth(p):
-        c2w = np.asarray(se3.inv(jnp.asarray(p)))
-        R = np.asarray(se3.matrix(jnp.asarray(c2w)))[:3, :3]
-        return ((PLANE_Z - c2w[2]) / (dirc @ R.T)[..., 2]).astype(np.float32)
-
-    depths = np.stack([plane_depth(p) for p in poses_gt])
-    rng = np.random.default_rng(7)
-    images = rng.uniform(0, 255, (T_FRAMES, HT, WD, 3)).astype(np.float32)
-    return poses_gt, depths, images
+    return parity_scene(ts, HT, WD, INTR, se3, jnp, plane_z=PLANE_Z)
 
 
 def test_keyframe_removal_matches_reference(scene_stopgo, tmp_path):

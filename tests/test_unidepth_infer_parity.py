@@ -14,9 +14,11 @@ Two grids:
     pos-embed interpolation branch is a no-op on both sides, so every stage
     has exact semantics (tight bound);
   * 210x280 at small bounds — exercises the resize-in (antialiased
-    downscale on both sides), pos-embed interpolation (torch bicubic
-    A=-0.75 vs jax Keys A=-0.5 -> calibrated loose bound), postprocess
-    resize-out and K/ratio rescale, plus the gt-intrinsics rays branch.
+    downscale on both sides), pos-embed interpolation (torch-EXACT bicubic
+    since r4, `_torch_bicubic_matrix` size mode), postprocess resize-out
+    and K/ratio rescale, plus the gt-intrinsics rays branch; bounded by
+    the same random-init logdepth layer-norm amplifier as the pretrain
+    grid (measured depth 1.1e-3, K 3.4e-6).
 """
 
 import json
@@ -106,8 +108,10 @@ def test_infer_parity_pretrain_grid(rng):
 
 @pytest.mark.parametrize("with_K", [False, True], ids=["predK", "gtK"])
 def test_infer_parity_resized(small_nets, rng, with_K):
-    """210x280 at a 144-patch bound: resize-in/out, K rescale, pos-embed
-    interpolation (kernel-mismatch-calibrated bound), gt-rays branch."""
+    """210x280 at a 144-patch bound: resize-in/out, K rescale, torch-exact
+    pos-embed interpolation, gt-rays branch. Bounds sit just above the
+    measured values (depth 1.1e-3 — the logdepth layer-norm amplifier under
+    random init; K 3.4e-6)."""
     tnet, jnet, params = small_nets
     img = rng.integers(0, 256, (210, 280, 3), dtype=np.uint8)
     K = np.array([[300.0, 0, 140], [0, 300.0, 105], [0, 0, 1]], np.float32) \
@@ -119,10 +123,10 @@ def test_infer_parity_resized(small_nets, rng, with_K):
 
     r_depth = ref["depth"][0] if ref["depth"].ndim == 3 else ref["depth"]
     d_err = np.abs(r_depth - ours["depth"]).max() / np.abs(r_depth).max()
-    assert d_err < 5e-2, f"depth rel err {d_err}"
+    assert d_err < 5e-3, f"depth rel err {d_err}"
     if with_K:
         np.testing.assert_allclose(ours["intrinsics"], K, rtol=1e-6)
     else:
         k_err = np.abs(ref["intrinsics"] - ours["intrinsics"]).max() / np.abs(
             ref["intrinsics"]).max()
-        assert k_err < 5e-2, f"K rel err {k_err}"
+        assert k_err < 1e-4, f"K rel err {k_err}"
