@@ -345,3 +345,56 @@ def test_real_tracker_under_mesh_full_loop():
     assert np.isfinite(traj_mesh).all()
     d = np.abs(traj_mesh - traj_single).max()
     assert d < 1e-3, f"mesh-vs-single trajectory diverged: {d}"
+
+
+def test_keyframe_removal_under_mesh_full_loop():
+    """use_keyframe removal inside the full loop under a 4-device mesh
+    (edge-sharded flat BA — the backend use_keyframe forces): same removals
+    and trajectory as the identical single-device run. Covers the one
+    sharding x feature combination the other loop tests leave out: the
+    host-side slot allocator + buffer-shifting remove_keyframe jit running
+    over sharded state."""
+    from batrack_tpu.slam import BATrack, OracleTracker
+    from batrack_tpu.utils.config import Config
+    from batrack_tpu.utils.synth import parity_scene
+
+    ht, wd, T = 48, 64, 24
+    intr = np.array([60.0, 60.0, wd / 2, ht / 2], np.float32)
+    vel = np.ones(T, np.float32)
+    vel[8:15] = 0.0  # pause -> motion-magnitude removals fire
+    ts = np.concatenate([[0.0], np.cumsum(vel)[:-1]]).astype(np.float32)
+    poses_gt, depths, images = parity_scene(
+        ts, ht, wd, intr, se3, jnp, plane_z=5.0)
+
+    def drive(mesh):
+        cfg = Config()
+        s = cfg.slam
+        s.BUFFER_SIZE = 32
+        s.PATCHES_PER_FRAME = 16
+        s.PATCH_GEN = "grid_grad_4"
+        s.S_slam = 4
+        s.kf_stride = 2
+        s.num_init = 4
+        s.REMOVAL_WINDOW = 6
+        s.OPTIMIZATION_WINDOW = 5
+        s.MIN_TRACK_LEN = 2
+        s.ITER = 1
+        s.BA_EP = 0.1
+        s.use_keyframe = True
+        s.KEYFRAME_INDEX = 3
+        s.KEYFRAME_THRESH = 0.5
+        slam = BATrack(cfg, ht, wd, seed=0, mesh=mesh)
+        slam.tracker = OracleTracker(poses_gt, intr, slam.dims, seed=1)
+        for t in range(T):
+            slam(t, images[t], depths[t], intr)
+        traj, _ = slam.terminate()
+        return traj, sorted(slam.delta.keys())
+
+    traj_mesh, delta_mesh = drive(get_mesh(4, ("edge",)))
+    traj_single, delta_single = drive(None)
+
+    assert delta_mesh == delta_single and len(delta_mesh) >= 2, (
+        delta_mesh, delta_single)
+    assert traj_mesh.shape == (T, 7)
+    d = np.abs(traj_mesh - traj_single).max()
+    assert d < 1e-3, f"mesh-vs-single keyframe trajectory diverged: {d}"
