@@ -280,11 +280,13 @@ def main() -> int:
         "notes": "vs_baseline null: reference publishes no FPS "
                  "(BASELINE.md); reference_fps_estimate is a guess, not a "
                  "measurement. Measured software anchor (r4, "
-                 "scripts/ref_cpu_ab.py): the full reference loop vs ours "
-                 "on identical CPU/scene/config = 4.96 vs 4.23 FPS (0.85x "
-                 "— our static-shape padding costs real cycles on CPU but "
-                 "is free on TPU lanes; see ROOFLINE.md Reference "
-                 "comparison). Measured on one TPU v5e chip via tunnel; "
+                 "scripts/ref_cpu_ab.py, idle host): the full reference "
+                 "loop vs ours on identical CPU/scene/config = 10.88 vs "
+                 "4.54 FPS (0.42x — our static-shape padding costs real "
+                 "cycles on CPU but is free on TPU lanes, and is at its "
+                 "proportional worst at that toy config; see ROOFLINE.md "
+                 "Reference comparison). Measured on one TPU v5e chip via "
+                 "tunnel; "
                  "BASELINE.md target hardware is a v5p host. stage_ms are "
                  "amortised per-stage device times (single flush per rep "
                  "loop); predicted vs measured ms/2frames is the "

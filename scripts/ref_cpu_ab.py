@@ -13,9 +13,12 @@ Usage: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python scripts/ref_cpu_ab.py
 
 Run on an IDLE machine: both loops use all host cores, and eager torch
 degrades far more under core contention than the compiled XLA loop (a run
-concurrent with the pytest suite measured reference 0.63 FPS vs the idle
-machine's 4.96 — an 8x distortion that flatters us). The recorded anchor
-(reference 4.96 vs ours 4.23, 0.85x) is the idle-machine number.
+concurrent with the pytest suite measured reference 0.63 FPS; concurrent
+XLA compiles measured 4.96; truly idle measures 10.4-10.9 — up to 17x
+distortion that flatters us). The recorded anchor is the truly-idle
+number: reference 10.88 vs ours 4.54 FPS (0.42x) at this TOY config
+(M=64, S_slam=4, BUFFER=64), where our fixed-capacity padding is at its
+proportionally worst; our side is stable across all runs (4.2-4.6).
 """
 
 import json
