@@ -68,8 +68,11 @@ def main(argv=None) -> int:
         return 1
     for f in files:
         rgb = cv2.cvtColor(cv2.imread(f), cv2.COLOR_BGR2RGB)
+        # only depth+K are saved: skip the confidence/points compute AND
+        # their ~7.6 MB/frame device->host transfer
         out = infer(model, params, rgb, intrinsics=K_gt,
-                    resolution_level=args.resolution_level)
+                    resolution_level=args.resolution_level,
+                    outputs=("depth", "intrinsics"))
         fov = np.rad2deg(
             2 * np.arctan(out["depth"].shape[-1]
                           / (2 * out["intrinsics"][0, 0])))

@@ -298,15 +298,28 @@ def preprocess(image: np.ndarray, input_size: int = 518) -> np.ndarray:
     return img[None]
 
 
+_INFER_CACHE: dict = {}
+
+
 def infer_depth(model, params, image: np.ndarray, input_size: int = 518) -> np.ndarray:
-    """Full-resolution relative disparity for a uint8 RGB image."""
+    """Full-resolution relative disparity for a uint8 RGB image.
+
+    The forward + output resize run as ONE jitted graph per (model, shape)
+    bucket — eager model.apply dispatches every op individually, which on a
+    tunneled TPU costs per-op round trips (the same fix as unidepth._run_fn;
+    a video sequence compiles exactly once)."""
     from batrack_tpu.ops.sampling import interpolate_bilinear
 
     x = jnp.asarray(preprocess(image, input_size))
-    disp = model.apply(params, x)  # (1, H', W')
     h, w = image.shape[:2]
-    out = interpolate_bilinear(disp, (h, w), align_corners=True)
-    return np.asarray(out[0])
+    key = (id(model), x.shape, h, w)
+    if key not in _INFER_CACHE:
+        def run(p, xx):
+            disp = model.apply(p, xx)  # (1, H', W')
+            return interpolate_bilinear(disp, (h, w), align_corners=True)
+
+        _INFER_CACHE[key] = jax.jit(run)
+    return np.asarray(_INFER_CACHE[key](params, x)[0])
 
 
 # ---------------------------------------------------------------------------

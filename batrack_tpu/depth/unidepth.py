@@ -618,10 +618,16 @@ def _infer_shape(hw: Tuple[int, int],
 _RUN_CACHE: dict = {}
 
 
-def _run_fn(model, h, w, H, W, ratio, with_K):
-    """One jitted end-to-end inference graph per (shape, gt-K) bucket, so a
-    video sequence compiles exactly once."""
-    key = (id(model), h, w, H, W, ratio, with_K)
+def _run_fn(model, h, w, H, W, ratio, with_K, outputs):
+    """One jitted end-to-end inference graph per (shape, gt-K, outputs)
+    bucket, so a video sequence compiles exactly once. Everything —
+    including the ray generation and spherical back-projection to 3D points
+    (unidepthv2.py:273-280) — lives inside the jit: running those eagerly
+    cost ~700 ms/frame of per-op dispatch round-trips on the tunneled TPU.
+    `outputs` prunes both compute and the device->host transfer (the full
+    f32 points+confidence maps are ~7.6 MB/frame at 518x924 — consumers
+    like the .npz writer only keep depth+K)."""
+    key = (id(model), h, w, H, W, ratio, with_K, outputs)
     if key not in _RUN_CACHE:
         def run(params, img, K_gt):
             img = jax.image.resize(img, (1, h, w, 3), method="linear")
@@ -630,12 +636,22 @@ def _run_fn(model, h, w, H, W, ratio, with_K):
             out = model.apply(params, img, rays)
             depth = interpolate_bilinear(
                 out["depth"][:, None], (H, W), align_corners=False)[:, 0]
-            conf = interpolate_bilinear(
-                out["confidence"][:, None], (H, W), align_corners=False)[:, 0]
             K = out["K"] / jnp.asarray(
                 [[ratio, 1, ratio], [1, ratio, ratio], [1, 1, 1]],
                 jnp.float32)
-            return depth, conf, K
+            K_out = K_gt * jnp.asarray(
+                [[1 / ratio, 1, 1 / ratio], [1, 1 / ratio, 1 / ratio],
+                 [1, 1, 1]], jnp.float32) if K_gt is not None else K
+            res = {"depth": depth, "intrinsics": K_out}
+            if "confidence" in outputs:
+                res["confidence"] = interpolate_bilinear(
+                    out["confidence"][:, None], (H, W),
+                    align_corners=False)[:, 0]
+            if "points" in outputs:
+                angles = generate_rays(K_out, (H, W))[1].reshape(1, H, W, 2)
+                res["points"] = spherical_zbuffer_to_euclidean(
+                    jnp.concatenate([angles, depth[..., None]], -1))
+            return res
 
         _RUN_CACHE[key] = jax.jit(run)
     return _RUN_CACHE[key]
@@ -644,9 +660,13 @@ def _run_fn(model, h, w, H, W, ratio, with_K):
 def infer(model: UniDepthV2, params, image: np.ndarray,
           intrinsics: Optional[np.ndarray] = None,
           resolution_level: Optional[int] = None,
-          pixels_bounds: Tuple[int, int] = PIXELS_BOUNDS):
+          pixels_bounds: Tuple[int, int] = PIXELS_BOUNDS,
+          outputs: Tuple[str, ...] = ("depth", "intrinsics", "confidence",
+                                      "points")):
     """uint8 RGB (H, W, 3) -> {depth (H, W), intrinsics (3, 3),
-    confidence (H, W), points (H, W, 3)} at the original resolution."""
+    confidence (H, W), points (H, W, 3)} at the original resolution.
+    `outputs` selects which of them to compute/transfer (depth and
+    intrinsics are always produced)."""
     H, W = image.shape[:2]
     (h, w), ratio = _infer_shape((H, W), resolution_level, pixels_bounds)
     x = (image.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
@@ -656,18 +676,11 @@ def infer(model: UniDepthV2, params, image: np.ndarray,
         K_in = np.asarray(intrinsics, np.float32).copy()[None]
         K_in[:, :2] *= ratio
 
-    run = _run_fn(model, h, w, H, W, ratio, K_in is not None)
-    depth, conf, K_pred = run(params, jnp.asarray(x[None]),
-                              None if K_in is None else jnp.asarray(K_in))
-    depth = np.asarray(depth[0])
-    K = np.asarray(intrinsics if intrinsics is not None else K_pred[0])
-    rays = np.asarray(
-        generate_rays(jnp.asarray(K)[None], (H, W))[1][0]
-    ).reshape(H, W, 2)
-    points = np.asarray(spherical_zbuffer_to_euclidean(
-        np.concatenate([rays, depth[..., None]], -1)))
-    return {"depth": depth, "intrinsics": K,
-            "confidence": np.asarray(conf[0]), "points": points}
+    outs = tuple(sorted(set(outputs) | {"depth", "intrinsics"}))
+    run = _run_fn(model, h, w, H, W, ratio, K_in is not None, outs)
+    res = run(params, jnp.asarray(x[None]),
+              None if K_in is None else jnp.asarray(K_in))
+    return {k: np.asarray(v[0]) for k, v in res.items()}
 
 
 # ---------------------------------------------------------------------------

@@ -70,18 +70,30 @@ def bench_unidepth(jax, jnp, small: bool) -> dict:
     out = ud.infer(model, params, img, resolution_level=level)
     assert out["depth"].shape == (H, W)
     reps = 2 if small else 10
-    t0 = time.time()
-    for _ in range(reps):
-        out = ud.infer(model, params, img, resolution_level=level)
-    dt = (time.time() - t0) / reps
+
+    def timed(**kw):
+        ud.infer(model, params, img, resolution_level=level, **kw)  # warm
+        t0 = time.time()
+        for _ in range(reps):
+            ud.infer(model, params, img, resolution_level=level, **kw)
+        return (time.time() - t0) / reps
+
+    dt_full = timed()
+    # the production .npz path (cli/infer_metric_depth.py) transfers only
+    # depth+K — confidence/points compute + ~7.6 MB/frame transfer skipped
+    dt_slim = timed(outputs=("depth", "intrinsics"))
     return {
         "metric": "unidepth_vitl_fps",
-        "value": round(1.0 / dt, 3),
+        "value": round(1.0 / dt_full, 3),
+        "value_depth_K_only": round(1.0 / dt_slim, 3),
         "unit": "frames/s",
         "network_hw": [h, w],
         "backend": jax.default_backend(),
-        "notes": "full infer() path: shape-constrained resize + forward + "
-                 "upsample + ray back-projection (host) per frame",
+        "notes": "one jitted graph per shape incl. ray generation + "
+                 "spherical back-projection (eager per-op dispatch through "
+                 "the tunnel cost ~700 ms/frame before r4). "
+                 "value_depth_K_only is the production .npz-writer path "
+                 "(no confidence/points compute or transfer).",
     }
 
 

@@ -148,8 +148,14 @@ def main() -> int:
                  "slot BA under one mesh. davis_demo architecture at the "
                  "production S_slam=12 window, M=64 patches, 192x256 "
                  "network input (the largest CPU-mesh-executable "
-                 "davis-proportioned config); real-chip projection is the "
-                 "collective_cost_model section.",
+                 "davis-proportioned config). On a shared-compute mesh the "
+                 "fps/overhead values evidence EXECUTABILITY of the "
+                 "production sharded program at these shapes, not "
+                 "efficiency (host-core contention noise exceeds the "
+                 "effects, the r3->r4 lesson behind retiring the oracle "
+                 "section); the efficiency evidence is collective_bytes_hlo "
+                 "+ collective_cost_model + the measured ~0% 1-device mesh "
+                 "overhead on the real chip (TPU_PARITY.md r4).",
     }), flush=True)
 
     # ---- tracker forward scaling (the dominant compute, track-sharded) ----
