@@ -36,7 +36,10 @@ def main(argv=None) -> int:
     parser.add_argument("--out_dir", required=True,
                         help="output dir for per-frame .npz files")
     parser.add_argument("--checkpoint", required=True,
-                        help="UniDepthV2 vitl14 torch checkpoint")
+                        help="UniDepthV2 torch checkpoint (v2-vitl14 / "
+                             "v2-vits14)")
+    parser.add_argument("--arch", default="vitl", choices=["vitl", "vits"],
+                        help="checkpoint family (config_v2_<arch>14.json)")
     parser.add_argument("--intrinsics", default=None,
                         help="optional .npy (3,3) gt intrinsics")
     parser.add_argument("--resolution_level", type=int, default=None)
@@ -53,9 +56,10 @@ def main(argv=None) -> int:
 
     params = jax.tree.map(
         lambda x: jax.numpy.asarray(x),
-        convert_unidepth_checkpoint(_load_state_dict(args.checkpoint)),
+        convert_unidepth_checkpoint(_load_state_dict(args.checkpoint),
+                                    arch=args.arch),
     )
-    model = UniDepthV2()
+    model = UniDepthV2(arch=args.arch)
     K_gt = np.load(args.intrinsics) if args.intrinsics else None
 
     os.makedirs(args.out_dir, exist_ok=True)

@@ -50,7 +50,10 @@ NUM_HEADS = 8
 EXPANSION = 4
 DEC_DEPTHS = (6, 0, 0)
 CAMERA_DIM = 96
-OUT_IDX = (21, 22, 23, 24)  # 1-indexed encoder layers (pixel_encoder.depths)
+# 1-indexed encoder tap layers per arch (pixel_encoder.output_idx in
+# configs/config_v2_{vitl,vits}14.json)
+OUT_IDX_BY_ARCH = {"vitl": (21, 22, 23, 24), "vits": (9, 10, 11, 12)}
+OUT_IDX = OUT_IDX_BY_ARCH["vitl"]  # back-compat alias
 PIXELS_BOUNDS = (1400, 2400)  # patch-count bounds (shape_constraints)
 RATIO_BOUNDS = (0.66, 2.0)
 NUM_LANDMARKS = 128
@@ -497,8 +500,8 @@ class Decoder(nn.Module):
                  rays_gt: Optional[jnp.ndarray] = None):
         B = features[0].shape[0]
         H, W = image_hw
-        nres = len(OUT_IDX)
-        dims = (ARCHS["vitl"][0],) * nres
+        nres = len(features)
+        dims = (features[0].shape[-1],) * nres  # ListAdapter is dim-lazy
 
         features = ListAdapter(dims, HIDDEN, dtype=self.dtype,
                                name="input_adapter")(features)
@@ -547,7 +550,11 @@ class Decoder(nn.Module):
 
 
 class UniDepthV2(nn.Module):
-    """Full network: DINOv2-L/14 encoder + decoder (unidepthv2.py:119-200).
+    """Full network: DINOv2/14 encoder + decoder (unidepthv2.py:119-200).
+
+    arch selects the released checkpoint family: "vitl" (unidepth-v2-vitl14,
+    the reference pipeline's model) or "vits" (unidepth-v2-vits14,
+    configs/config_v2_vits14.json — same decoder, 12-block dim-384 trunk).
 
     `__call__` takes an ImageNet-normalized (B, H, W, 3) image whose sides
     are multiples of 14 (the `infer` driver handles the shape-constrained
@@ -555,6 +562,7 @@ class UniDepthV2(nn.Module):
     network resolution.
     """
 
+    arch: str = "vitl"
     use_nystrom: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -563,10 +571,10 @@ class UniDepthV2(nn.Module):
                  rays_gt: Optional[jnp.ndarray] = None):
         B, H, W, _ = x.shape
         shapes = (H // PATCH, W // PATCH)
-        take = [i - 1 for i in OUT_IDX]
+        take = [i - 1 for i in OUT_IDX_BY_ARCH[self.arch]]
         # interpolate_offset=0.0: UniDepth's encoder factory disables the
         # DINOv2 +0.1 kludge (models/encoder.py:188 -> size-mode interp)
-        outs = DINOv2("vitl", self.dtype, interpolate_offset=0.0,
+        outs = DINOv2(self.arch, self.dtype, interpolate_offset=0.0,
                       name="pixel_encoder")(x, take)
         features = [t for t, _ in outs]
         cls = [c[:, None] for _, c in outs]  # (B, 1, C) each
@@ -748,8 +756,8 @@ def _to_np(sd):
     return {k: np_(v) for k, v in sd.items()}
 
 
-def convert_unidepth_checkpoint(sd) -> dict:
-    """UniDepthV2 (v2-vitl14) torch state_dict -> flax params."""
+def convert_unidepth_checkpoint(sd, arch: str = "vitl") -> dict:
+    """UniDepthV2 (v2-vitl14 / v2-vits14) torch state_dict -> flax params."""
     sd = _to_np(sd)
     # dinov2 block-chunking (backbones/dinov2.py BlockChunk): keys are
     # blocks.<chunk>.<global_idx>.* with identity padding preserving the
@@ -759,13 +767,13 @@ def convert_unidepth_checkpoint(sd) -> dict:
     sd = {re.sub(r"(pixel_encoder\.blocks)\.\d+\.(\d+\.)", r"\1.\2", k): v
           for k, v in sd.items()}
     return {"params": {
-        "pixel_encoder": _convert_encoder(sd),
+        "pixel_encoder": _convert_encoder(sd, arch=arch),
         "pixel_decoder": _convert_decoder(sd),
     }}
 
 
-def _convert_encoder(sd, p="pixel_encoder."):
-    dim, depth, _, _ = ARCHS["vitl"]
+def _convert_encoder(sd, p="pixel_encoder.", arch="vitl"):
+    dim, depth, _, _ = ARCHS[arch]
     enc = {
         "patch_embed": _cv(sd, f"{p}patch_embed.proj"),
         "cls_token": sd[f"{p}cls_token"],

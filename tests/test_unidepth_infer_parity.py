@@ -42,13 +42,13 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _build_reference(pixels_bounds):
+def _build_reference(pixels_bounds, arch="vitl"):
     _install_stubs()
     if UD_ROOT not in sys.path:
         sys.path.insert(0, UD_ROOT)
     from unidepth.models.unidepthv2.unidepthv2 import UniDepthV2 as TorchUD
 
-    with open(os.path.join(UD_ROOT, "configs/config_v2_vitl14.json")) as f:
+    with open(os.path.join(UD_ROOT, f"configs/config_v2_{arch}14.json")) as f:
         config = json.load(f)
     config["data"]["shape_constraints"]["pixels_bounds"] = list(pixels_bounds)
     torch.manual_seed(0)
@@ -57,12 +57,15 @@ def _build_reference(pixels_bounds):
     return net
 
 
-@pytest.fixture(scope="module")
-def small_nets():
-    """vitl at tiny network resolution (144-patch bound)."""
-    tnet = _build_reference((144, 144))
-    params = convert_unidepth_checkpoint(tnet.state_dict())
-    return tnet, UniDepthV2(use_nystrom=False), params
+@pytest.fixture(scope="module", params=["vitl", "vits"])
+def small_nets(request):
+    """Both released checkpoint families at tiny network resolution
+    (144-patch bound) — vits uses the reference's own
+    config_v2_vits14.json (12-block dim-384 trunk, identical decoder)."""
+    arch = request.param
+    tnet = _build_reference((144, 144), arch)
+    params = convert_unidepth_checkpoint(tnet.state_dict(), arch=arch)
+    return tnet, UniDepthV2(arch=arch, use_nystrom=False), params
 
 
 def _run_reference(tnet, image_u8, K=None):
