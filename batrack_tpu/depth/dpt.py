@@ -299,6 +299,7 @@ def preprocess(image: np.ndarray, input_size: int = 518) -> np.ndarray:
 
 
 _INFER_CACHE: dict = {}
+_INFER_CACHE_MAX = 16  # FIFO cap: each entry pins a compiled executable
 
 
 def infer_depth(model, params, image: np.ndarray, input_size: int = 518) -> np.ndarray:
@@ -318,6 +319,8 @@ def infer_depth(model, params, image: np.ndarray, input_size: int = 518) -> np.n
             disp = model.apply(p, xx)  # (1, H', W')
             return interpolate_bilinear(disp, (h, w), align_corners=True)
 
+        if len(_INFER_CACHE) >= _INFER_CACHE_MAX:
+            _INFER_CACHE.pop(next(iter(_INFER_CACHE)))
         _INFER_CACHE[key] = jax.jit(run)
     return np.asarray(_INFER_CACHE[key](params, x)[0])
 

@@ -624,6 +624,14 @@ def _infer_shape(hw: Tuple[int, int],
 
 
 _RUN_CACHE: dict = {}
+_RUN_CACHE_MAX = 16  # FIFO cap: each entry pins a compiled executable
+
+
+def _cache_put(cache, key, value, cap=_RUN_CACHE_MAX):
+    if len(cache) >= cap:
+        cache.pop(next(iter(cache)))  # dicts iterate in insertion order
+    cache[key] = value
+    return value
 
 
 def _run_fn(model, h, w, H, W, ratio, with_K, outputs):
@@ -661,7 +669,7 @@ def _run_fn(model, h, w, H, W, ratio, with_K, outputs):
                     jnp.concatenate([angles, depth[..., None]], -1))
             return res
 
-        _RUN_CACHE[key] = jax.jit(run)
+        _cache_put(_RUN_CACHE, key, jax.jit(run))
     return _RUN_CACHE[key]
 
 
@@ -688,7 +696,14 @@ def infer(model: UniDepthV2, params, image: np.ndarray,
     run = _run_fn(model, h, w, H, W, ratio, K_in is not None, outs)
     res = run(params, jnp.asarray(x[None]),
               None if K_in is None else jnp.asarray(K_in))
-    return {k: np.asarray(v[0]) for k, v in res.items()}
+    res = {k: np.asarray(v[0]) for k, v in res.items()}
+    if intrinsics is not None:
+        # caller-provided K passes through EXACTLY (the in-graph
+        # scale/unscale round-trip only feeds the ray generation); matches
+        # the reference, which returns pred_intrinsics but backprojects
+        # through the original gt tensor (unidepthv2.py:273-276)
+        res["intrinsics"] = np.asarray(intrinsics)
+    return res
 
 
 # ---------------------------------------------------------------------------

@@ -91,7 +91,11 @@ def main() -> int:
 
     from batrack_tpu.utils.synth import make_scene  # single scene for all benches
 
-    T_RT, WARM_RT = 16, 8
+    # WARM_RT must cover the one-time initialization BA (is_initialized
+    # flips at n == num_init + 1, i.e. frame index num_init) so the timed
+    # window is steady-state only — at WARM_RT=8/num_init=12 the init solve
+    # landed INSIDE the timed region and dominated the fps/overhead noise
+    T_RT, WARM_RT = 21, 13
     images, depths, _ = make_scene(T_RT, HT, WD, INTR, se3, jnp)
 
     # ---- FULL production pipeline: real tracker + sharded backend ---------
