@@ -204,3 +204,32 @@ def test_full_model_smoke(rng):
     assert out["K"].shape == (1, 3, 3)
     assert np.isfinite(np.asarray(out["depth"])).all()
     assert (np.asarray(out["depth"]) > 0).all()
+
+
+def test_infer_output_selection(rng):
+    """infer(outputs=...) computes/transfers only the requested maps, with
+    values identical to the full-output run, and gt intrinsics pass
+    through exactly (the production .npz path uses depth+K only)."""
+    from batrack_tpu.depth.unidepth import infer
+
+    model = UniDepthV2(arch="vits")
+    img = rng.integers(0, 256, (126, 168, 3), dtype=np.uint8).astype(np.uint8)
+    # init at the network resolution the 100-patch bound produces
+    from batrack_tpu.depth.unidepth import _infer_shape
+    (h, w), _ = _infer_shape((126, 168), 0, (100, 100))
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32))
+
+    K = np.array([[150.0, 0, 84], [0, 150.0, 63], [0, 0, 1]], np.float32)
+    full = infer(model, params, img, intrinsics=K,
+                 pixels_bounds=(100, 100), resolution_level=0)
+    slim = infer(model, params, img, intrinsics=K,
+                 pixels_bounds=(100, 100), resolution_level=0,
+                 outputs=("depth", "intrinsics"))
+
+    assert set(full) == {"depth", "intrinsics", "confidence", "points"}
+    assert set(slim) == {"depth", "intrinsics"}
+    np.testing.assert_array_equal(slim["depth"], full["depth"])
+    # gt K passes through EXACTLY (no f32 scale/unscale round-trip)
+    np.testing.assert_array_equal(slim["intrinsics"], K)
+    np.testing.assert_array_equal(full["intrinsics"], K)
