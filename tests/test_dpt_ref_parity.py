@@ -86,3 +86,37 @@ def test_full_forward_parity_interpolated_grid(nets, rng):
     scale = np.abs(ref).max()
     err = np.abs(ref - ours).max() / max(scale, 1e-6)
     assert err < 1e-5, f"relative max err {err} (scale {scale})"  # measured 2.2e-6
+
+
+ARCH_CONFIGS = {
+    "vitb": dict(features=128, out_channels=(96, 192, 384, 768)),
+    "vitl": dict(features=256, out_channels=(256, 512, 1024, 1024)),
+}
+
+
+@pytest.mark.parametrize("arch", ["vitb", "vitl"])
+def test_full_forward_parity_other_arches(arch, rng):
+    """vitb/vitl converters + wiring end-to-end (run_videos_v2.py:41-46
+    model_configs) at the cheap interpolated grid (the vits tests cover
+    both grids; the per-arch deltas are dims/taps, not semantics)."""
+    install_reference_stubs()
+    if DA2_ROOT not in sys.path:
+        sys.path.insert(0, DA2_ROOT)
+    from depth_anything_v2.dpt import DepthAnythingV2 as TorchDA2
+
+    cfg = ARCH_CONFIGS[arch]
+    torch.manual_seed(0)
+    tnet = TorchDA2(encoder=arch, features=cfg["features"],
+                    out_channels=list(cfg["out_channels"])).eval()
+    params = convert_da2_checkpoint(tnet.state_dict(), arch)
+    jnet = DepthAnythingV2(arch=arch, **cfg)
+
+    x = rng.normal(size=(1, 3, 280, 392)).astype(np.float32)
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x)).numpy()
+    ours = np.asarray(jnet.apply(params, jnp.asarray(
+        np.transpose(x, (0, 2, 3, 1)))))
+    assert ref.shape == ours.shape == (1, 280, 392)
+    scale = np.abs(ref).max()
+    err = np.abs(ref - ours).max() / max(scale, 1e-6)
+    assert err < 1e-4, f"{arch}: relative max err {err} (scale {scale})"
