@@ -42,7 +42,13 @@ def main(argv=None) -> int:
     params = jax.tree.map(
         lambda x: jax.numpy.asarray(x), convert_da2_checkpoint(sd, args.encoder)
     )
-    model = DepthAnythingV2(arch=args.encoder)
+    # per-arch DPT head dims (run_videos_v2.py:41-46 model_configs)
+    head_cfg = {
+        "vits": dict(features=64, out_channels=(48, 96, 192, 384)),
+        "vitb": dict(features=128, out_channels=(96, 192, 384, 768)),
+        "vitl": dict(features=256, out_channels=(256, 512, 1024, 1024)),
+    }[args.encoder]
+    model = DepthAnythingV2(arch=args.encoder, **head_cfg)
 
     os.makedirs(args.out_dir, exist_ok=True)
     files = sorted(
