@@ -95,3 +95,43 @@ def test_infer_metric_depth_cli(img_dir, tmp_path):
     assert z["depth"].shape == (126, 168) and (z["depth"] > 0).all()
     assert z["intrinsics"].shape == (3, 3)
     assert 10.0 < float(z["fov"]) < 175.0
+
+
+def test_align_depth_cli(img_dir, tmp_path):
+    """Full stage-1 chain tail: provider-schema inputs -> cli.align_depth ->
+    normalized metric depth .npy + shared K (the run_slam data.depthdir/
+    data.calib inputs). The alignment math itself is golden-tested in
+    test_align_ref_parity; this drives the scene-loop CLI wrapper."""
+    rng = np.random.default_rng(1)
+    depth_dir, data_dir = tmp_path / "depth", tmp_path / "data"
+    scene = "clip0"
+    mono = depth_dir / "depthAny_disp" / scene
+    metric = depth_dir / "unidepthv2" / scene
+    mono.mkdir(parents=True)
+    metric.mkdir(parents=True)
+    (data_dir / scene).mkdir(parents=True)
+    K = np.array([[150.0, 0, 84], [0, 150.0, 63], [0, 0, 1]], np.float32)
+    for i in range(2):
+        depth = rng.uniform(2.0, 6.0, (126, 168)).astype(np.float32)
+        disp = (1.0 / depth) * 1.7 + 0.05  # mono disparity, scaled+shifted
+        np.save(mono / f"{i:04d}.npy", disp)
+        np.savez(metric / f"{i:04d}.npz", depth=depth, intrinsics=K,
+                 fov=np.float32(58.0))
+        img = rng.integers(0, 256, (126, 168, 3), dtype=np.uint8)
+        cv2.imwrite(str(data_dir / scene / f"{i:04d}.png"), img)
+
+    from batrack_tpu.cli.align_depth import main
+
+    rc = main(["--depth_dir", str(depth_dir), "--data_dir", str(data_dir)])
+    assert rc == 0
+    out = depth_dir / "unidepth_da" / scene
+    outs = sorted(os.listdir(out))
+    assert len(outs) == 2
+    aligned = np.load(out / outs[0])
+    assert aligned.shape == (126, 168)
+    assert np.isfinite(aligned).all() and (aligned > 0).all()
+    k_dir = depth_dir / "unidepth_da_intrinsics" / scene
+    k_files = sorted(os.listdir(k_dir))
+    assert k_files
+    K_out = np.load(k_dir / k_files[0])
+    assert K_out.shape == (3, 3) and K_out[0, 0] > 0
