@@ -299,7 +299,7 @@ def preprocess(image: np.ndarray, input_size: int = 518) -> np.ndarray:
 
 
 _INFER_CACHE: dict = {}
-_INFER_CACHE_MAX = 16  # FIFO cap: each entry pins a compiled executable
+_INFER_CACHE_MAX = 16  # LRU cap: each entry pins a compiled executable
 
 
 def infer_depth(model, params, image: np.ndarray, input_size: int = 518) -> np.ndarray:
@@ -314,7 +314,11 @@ def infer_depth(model, params, image: np.ndarray, input_size: int = 518) -> np.n
     x = jnp.asarray(preprocess(image, input_size))
     h, w = image.shape[:2]
     key = (id(model), x.shape, h, w)
-    if key not in _INFER_CACHE:
+    if key in _INFER_CACHE:
+        # LRU: refresh recency so alternating over >cap (model, shape)
+        # buckets evicts the least-recently-USED executable, not the oldest
+        _INFER_CACHE[key] = _INFER_CACHE.pop(key)
+    else:
         def run(p, xx):
             disp = model.apply(p, xx)  # (1, H', W')
             return interpolate_bilinear(disp, (h, w), align_corners=True)

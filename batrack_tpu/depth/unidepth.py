@@ -624,7 +624,7 @@ def _infer_shape(hw: Tuple[int, int],
 
 
 _RUN_CACHE: dict = {}
-_RUN_CACHE_MAX = 16  # FIFO cap: each entry pins a compiled executable
+_RUN_CACHE_MAX = 16  # LRU cap: each entry pins a compiled executable
 
 
 def _cache_put(cache, key, value, cap=_RUN_CACHE_MAX):
@@ -632,6 +632,15 @@ def _cache_put(cache, key, value, cap=_RUN_CACHE_MAX):
         cache.pop(next(iter(cache)))  # dicts iterate in insertion order
     cache[key] = value
     return value
+
+
+def _cache_hit(cache, key):
+    """LRU lookup: on hit, move the key to the end (most-recent) so
+    alternating over >cap buckets evicts least-recently-USED, not oldest."""
+    if key in cache:
+        cache[key] = cache.pop(key)
+        return True
+    return False
 
 
 def _run_fn(model, h, w, H, W, ratio, with_K, outputs):
@@ -644,8 +653,14 @@ def _run_fn(model, h, w, H, W, ratio, with_K, outputs):
     f32 points+confidence maps are ~7.6 MB/frame at 518x924 — consumers
     like the .npz writer only keep depth+K)."""
     key = (id(model), h, w, H, W, ratio, with_K, outputs)
-    if key not in _RUN_CACHE:
-        def run(params, img, K_gt):
+    if not _cache_hit(_RUN_CACHE, key):
+        def run(params, img, K_gt, K_exact):
+            # K_gt is the host-rescaled K for the (h, w) network input;
+            # K_exact is the caller's ORIGINAL K, used verbatim for the
+            # full-resolution back-projection — the reference backprojects
+            # through the original gt tensor (unidepthv2.py:273-276), and an
+            # in-graph scale-then-unscale f32 round-trip would perturb the
+            # 'points' output by ~1 ulp of the intrinsics
             img = jax.image.resize(img, (1, h, w, 3), method="linear")
             rays = (generate_rays(K_gt, (h, w))[0]
                     if K_gt is not None else None)
@@ -655,9 +670,7 @@ def _run_fn(model, h, w, H, W, ratio, with_K, outputs):
             K = out["K"] / jnp.asarray(
                 [[ratio, 1, ratio], [1, ratio, ratio], [1, 1, 1]],
                 jnp.float32)
-            K_out = K_gt * jnp.asarray(
-                [[1 / ratio, 1, 1 / ratio], [1, 1 / ratio, 1 / ratio],
-                 [1, 1, 1]], jnp.float32) if K_gt is not None else K
+            K_out = K_exact if K_exact is not None else K
             res = {"depth": depth, "intrinsics": K_out}
             if "confidence" in outputs:
                 res["confidence"] = interpolate_bilinear(
@@ -687,15 +700,17 @@ def infer(model: UniDepthV2, params, image: np.ndarray,
     (h, w), ratio = _infer_shape((H, W), resolution_level, pixels_bounds)
     x = (image.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
 
-    K_in = None
+    K_in = K_exact = None
     if intrinsics is not None:
-        K_in = np.asarray(intrinsics, np.float32).copy()[None]
+        K_exact = np.asarray(intrinsics, np.float32)[None]
+        K_in = K_exact.copy()
         K_in[:, :2] *= ratio
 
     outs = tuple(sorted(set(outputs) | {"depth", "intrinsics"}))
     run = _run_fn(model, h, w, H, W, ratio, K_in is not None, outs)
     res = run(params, jnp.asarray(x[None]),
-              None if K_in is None else jnp.asarray(K_in))
+              None if K_in is None else jnp.asarray(K_in),
+              None if K_exact is None else jnp.asarray(K_exact))
     res = {k: np.asarray(v[0]) for k, v in res.items()}
     if intrinsics is not None:
         # caller-provided K passes through EXACTLY (the in-graph

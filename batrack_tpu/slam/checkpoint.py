@@ -41,30 +41,64 @@ def save_slam_state(slam: "BATrack", path: str) -> None:
     np.savez_compressed(path, meta=json.dumps(meta), **arrays)
 
 
+def _ring_pad(k: str, arr: np.ndarray, cur, slot_unit: int):
+    """Migrate a smaller saved edge-ring field to the configured capacity.
+
+    The ring capacity grew with use_keyframe (+KEYFRAME_RING_EXTRA,
+    state.py::ring_slots_for), so checkpoints saved under an older/smaller
+    ring are padded with empty slots (e_valid 0, slot_start -1, data 0) —
+    appended slots sit AFTER the saved ones, so saved slot indices (and the
+    restored _slot_info entries) remain valid. Only the leading (slot/edge)
+    axis may differ, and only by whole slots; anything else is a genuine
+    config mismatch and still raises."""
+    cshape = cur.shape
+    if (
+        arr.shape[1:] != tuple(cshape[1:])
+        or arr.shape[0] >= cshape[0]
+        or arr.shape[0] % slot_unit
+        or cshape[0] % slot_unit
+    ):
+        return None
+    fill = -1 if k == "slot_start" else 0
+    pad = np.full((cshape[0] - arr.shape[0],) + arr.shape[1:], fill, arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
+
+
 def load_slam_state(slam: "BATrack", path: str) -> None:
     data = np.load(path, allow_pickle=False)
     fields = {}
     ring_fields = {"e_kk", "e_jj", "e_target", "e_weight", "e_weight_pose",
                    "e_valid", "e_static", "slot_start"}
+    s = slam.cfg.slam
+    edges_per_slot = (s.S_slam // s.kf_stride) * s.PATCHES_PER_FRAME * s.S_slam
     for k in SLAMState._fields:
         arr = data[f"state_{k}"]
         cur = getattr(slam.state, k)
         if arr.shape != cur.shape:
-            hint = ""
+            migrated = None
             if k in ring_fields:
-                # edge-ring capacity depends on REMOVAL_WINDOW/kf_stride AND
-                # on use_keyframe (+KEYFRAME_RING_EXTRA, state.py::
-                # ring_slots_for) — the usual cause of this mismatch
-                hint = (
-                    " (edge-ring capacity differs: it is set by "
-                    "REMOVAL_WINDOW/kf_stride and, when use_keyframe is on, "
-                    "+KEYFRAME_RING_EXTRA — load with the same slam config "
-                    "the checkpoint was saved under)"
+                unit = 1 if k == "slot_start" else edges_per_slot
+                migrated = _ring_pad(k, arr, cur, unit)
+            if migrated is None:
+                hint = ""
+                if k in ring_fields:
+                    # edge-ring capacity depends on REMOVAL_WINDOW/kf_stride
+                    # AND on use_keyframe (+KEYFRAME_RING_EXTRA, state.py::
+                    # ring_slots_for) — the usual cause of this mismatch.
+                    # A SMALLER saved ring is auto-migrated above; only
+                    # larger-than-configured or non-slot-aligned shapes land
+                    # here
+                    hint = (
+                        " (edge-ring capacity differs: it is set by "
+                        "REMOVAL_WINDOW/kf_stride and, when use_keyframe is "
+                        "on, +KEYFRAME_RING_EXTRA — load with the same slam "
+                        "config the checkpoint was saved under)"
+                    )
+                raise ValueError(
+                    f"checkpoint field {k} shape {arr.shape} != config shape "
+                    f"{cur.shape}{hint}"
                 )
-            raise ValueError(
-                f"checkpoint field {k} shape {arr.shape} != config shape "
-                f"{cur.shape}{hint}"
-            )
+            arr = migrated
         fields[k] = jnp.asarray(arr)
     slam.state = SLAMState(**fields)
     meta = json.loads(str(data["meta"]))
@@ -90,7 +124,10 @@ def load_slam_state(slam: "BATrack", path: str) -> None:
                 "sources": [],  # unknown; treated as dead (pre-allocator FIFO)
             }
     else:
-        slam._slot_info = [
+        restored = [
             None if v is None else {"seq": v[0], "sources": list(v[1])}
             for v in slot_info
         ]
+        # ring migration (see _ring_pad): appended empty slots follow the
+        # saved ones, so the saved allocator entries map index-for-index
+        slam._slot_info = restored + [None] * (R - len(restored))

@@ -74,6 +74,7 @@ class BATrack:
         self.is_initialized = False
         self.tlist: List = []
         self.delta: Dict[int, Tuple[int, np.ndarray]] = {}  # keyframe removals
+        self.ring_overflow_count = 0  # over-capacity slot overwrites (see _alloc_slot)
         self.visualizer = None   # optional TrackVisualizer
         self._last_append_n = None  # for cross-append tracker fmap reuse
         from batrack_tpu.utils.profiling import StageTimer
@@ -366,18 +367,24 @@ class BATrack:
                 best, best_seq = idx, seq
         if best is None:
             # ring over capacity (more in-flight removals than
-            # KEYFRAME_RING_EXTRA): overwrite the stalest live slot
-            import logging
-
+            # KEYFRAME_RING_EXTRA): overwrite the stalest live slot. Count
+            # every occurrence (exported via get_results for visibility) but
+            # warn only on the first and each 100th — a long pause would
+            # otherwise emit one log line per append
             best = min(
                 range(len(self._slot_info)),
                 key=lambda i: self._slot_info[i]["seq"],
             )
-            logging.getLogger(__name__).warning(
-                "edge ring over capacity (%d slots, all live); overwriting "
-                "the oldest — raise slam.KEYFRAME_RING_EXTRA for exact "
-                "reference-window semantics", dims.ring_slots,
-            )
+            self.ring_overflow_count += 1
+            if self.ring_overflow_count == 1 or self.ring_overflow_count % 100 == 0:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "edge ring over capacity (%d slots, all live; occurrence "
+                    "#%d); overwriting the oldest — raise "
+                    "slam.KEYFRAME_RING_EXTRA for exact reference-window "
+                    "semantics", dims.ring_slots, self.ring_overflow_count,
+                )
         S = min(self.n, dims.S_slam)
         sources = [
             self.n - S + qs * dims.kf_stride
@@ -578,7 +585,12 @@ class BATrack:
         are offset from cams_T_world, exactly as in the reference
         (batrack.py:1091-1103 slices the same buffers by self.counter).
         use_keyframe is disabled in every shipped config, reference and
-        here alike."""
+        here alike — but unlike the reference, when removals DID happen this
+        export warns loudly and records which rows are affected
+        (``stale_rows``: buffer row i whose content belongs to a frame
+        != i, or beyond the live buffer) plus ``buffer_tstamps`` (the frame
+        id each live row actually holds) so a consumer can remap instead of
+        silently reading garbage."""
         C = self.counter
         M, S_local = self.dims.M, self.dims.S_local
 
@@ -607,6 +619,26 @@ class BATrack:
             "rgbs": None if rgbs is None else np.asarray(rgbs, dtype=float),
             "dmaps_gt": None if dmaps_gt is None else np.asarray(dmaps_gt, dtype=float),
         }
+        if self.ring_overflow_count:
+            results["ring_overflow_count"] = int(self.ring_overflow_count)
+        if self.delta:
+            # keyframe removals happened: per-frame rows are buffer-indexed
+            # while cams_T_world is counter-indexed (see docstring)
+            buffer_tstamps = np.asarray(self.state.tstamps[: self.n])
+            misaligned = np.nonzero(buffer_tstamps != np.arange(self.n))[0]
+            stale = np.concatenate([misaligned, np.arange(self.n, C)])
+            results["stale_rows"] = stale.astype(np.int64)
+            results["buffer_tstamps"] = buffer_tstamps.astype(np.int64)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "get_results after %d keyframe removal(s): %d of %d per-frame "
+                "rows in trajs_*/dmaps-aligned buffers are stale or "
+                "misaligned with cams_T_world (reference-identical layout, "
+                "batrack.py:1091-1103). Consumers must remap via the "
+                "'stale_rows'/'buffer_tstamps' fields or disable "
+                "slam.use_keyframe.", len(self.delta), len(stale), C,
+            )
         if save_path is not None:
             import pickle
 
