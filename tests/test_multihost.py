@@ -91,8 +91,64 @@ print(f"proc {pid}: multihost slot BA ok, |dpose| = {d:.2e}", flush=True)
 """
 
 
-@pytest.mark.slow
-def test_two_process_host_chip_mesh(tmp_path):
+TRACKER_WORKER = r"""
+import os, sys
+import numpy as np
+
+import jax
+
+port, pid = sys.argv[1], int(sys.argv[2])
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
+)
+assert jax.process_count() == 2, jax.process_count()
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+sys.path.insert(0, os.environ["BATRACK_REPO"])
+from batrack_tpu.parallel.sharded_tracker import sharded_tracker_apply
+from batrack_tpu.tracker.mdtracker import MDTracker, TrackerParams
+
+# the space-attention all-gather over the track axis is THE collective that
+# carries the tracker scaling story (parallel/sharded_tracker.py); sharding
+# 16 tracks over 2 processes x 4 chips puts that all-gather on a genuine
+# process boundary. Same shapes/tolerances as the single-process
+# test_parallel.py::test_sharded_tracker_matches_single.
+p = TrackerParams(S=4, iters=1, static_iters=1, interp_shape=(32, 48))
+model = MDTracker(p)
+T, H, W, N = 4, 32, 48, 16
+rng = np.random.default_rng(0)
+window = jnp.asarray(rng.uniform(0, 255, (T, 4, H, W)), jnp.float32)
+window = window.at[:, 3].set(
+    jnp.asarray(rng.uniform(2, 6, (T, H, W)), jnp.float32))
+queries_np = np.stack(
+    [np.zeros(N), rng.uniform(5, W - 5, N), rng.uniform(5, H - 5, N),
+     rng.uniform(2, 6, N)], -1).astype(np.float32)
+params = model.init(jax.random.PRNGKey(0), window, jnp.asarray(queries_np))
+
+# local single-process reference (identical on both processes: same seeds)
+ref = [np.asarray(o) for o in model.apply(params, window, jnp.asarray(queries_np))[:5]]
+
+mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("track",))
+q_sh = NamedSharding(mesh, P("track", None))
+queries_g = jax.make_array_from_callback(
+    queries_np.shape, q_sh, lambda idx: queries_np[idx])
+out = sharded_tracker_apply(model, params, window, queries_g, mesh, "track")
+
+tols = [2e-4, 2e-4, 2e-2, 1e-5, 1e-5]
+for o, r, tol in zip(out, ref, tols):
+    # outputs are track-sharded global arrays: each process checks ITS
+    # addressable shards against the replicated local reference slice
+    checked = 0
+    for sh in o.addressable_shards:
+        np.testing.assert_allclose(np.asarray(sh.data), r[sh.index], atol=tol)
+        checked += 1
+    assert checked > 0
+print(f"proc {pid}: multihost sharded tracker ok", flush=True)
+"""
+
+
+def _run_two_process(tmp_path, worker_src, ok_marker, timeout=420):
     # bind-then-release has a TOCTOU window (another process could grab the
     # port before the workers do) — acceptable in this single-user
     # container; a shared-CI setup should retry on coordinator bind failure
@@ -109,7 +165,7 @@ def test_two_process_host_chip_mesh(tmp_path):
         "PYTHONPATH": REPO,
     })
     script = tmp_path / "worker.py"
-    script.write_text(WORKER)
+    script.write_text(worker_src)
 
     procs = [
         subprocess.Popen(
@@ -121,7 +177,7 @@ def test_two_process_host_chip_mesh(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out.decode())
     finally:
         # a hung distributed init must not leak workers holding the
@@ -132,7 +188,21 @@ def test_two_process_host_chip_mesh(tmp_path):
                 p.wait()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
-        assert "multihost slot BA ok" in out
+        assert ok_marker in out
+
+
+@pytest.mark.slow
+def test_two_process_host_chip_mesh(tmp_path):
+    _run_two_process(tmp_path, WORKER, "multihost slot BA ok")
+
+
+@pytest.mark.slow
+def test_two_process_sharded_tracker(tmp_path):
+    """The track-sharded tracker (its space-attention all-gather is the
+    collective that dominates the scaling story) across a REAL process
+    boundary, equal to the single-process forward (VERDICT r4 #4)."""
+    _run_two_process(tmp_path, TRACKER_WORKER, "multihost sharded tracker ok",
+                     timeout=600)
 
 
 def test_init_distributed_noop_without_cluster(monkeypatch):
