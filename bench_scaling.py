@@ -17,6 +17,11 @@ Sections, one JSON line each:
      - the XLA-compiled truth: all-gather sizes parsed from the HLO of the
        track-sharded attention at FULL production shapes, cross-checked
        against the analytic model's per-block bytes (VERDICT r3 #7).
+  {"metric": "ba_psum_bytes_hlo", ...}
+     - same check for the SECOND sharded program (VERDICT r4 #3):
+       all-reduce sizes parsed from the compiled HLO of the production
+       patch-sharded slot backend at davis_demo dims vs the
+       distributed-Schur model (B + EQE + rhs per GN pose pass).
   {"metric": "collective_cost_model", ...}
      - the analytic per-collective projection for REAL chips: bytes moved
        per space-attention all-gather x blocks/forward vs ICI bandwidth,
@@ -293,6 +298,89 @@ def main() -> int:
                  "chip = (n-1)/n of the output size x 2 B (bf16 on TPU).",
     }), flush=True)
 
+    # ---- BA psum HLO cross-check (VERDICT r4 #3) --------------------------
+    # Compile the PRODUCTION patch-sharded slot backend update
+    # (sharded_slot_slam_update) at davis_demo dims and read the all-reduce
+    # sizes XLA actually emits. The distributed-Schur claim
+    # (parallel/sharded_slot_ba.py:9-12) is that ONLY the (W,W,6,6) pose
+    # blocks + the K-contracted Schur/rhs pieces cross devices, never
+    # per-patch data: model elements per GN pose pass =
+    # 36*W^2 (B) + (6W)^2 (EQE) + 6W (vvec) + 6W (Ew), ITER passes per
+    # update (the structure-only pass is collective-free — per-patch depth
+    # state is shard-local by construction).
+    from batrack_tpu.parallel.sharded_slot_ba import sharded_slot_slam_update
+    from batrack_tpu.slam.state import StaticDims, init_state
+
+    cfg_ba = Config()
+    sb = cfg_ba.slam
+    sb.BUFFER_SIZE = 1024
+    sb.PATCHES_PER_FRAME = 400
+    sb.S_slam = 12
+    sb.num_init = 12
+    sb.REMOVAL_WINDOW = 20
+    sb.OPTIMIZATION_WINDOW = 15
+    dims_ba = StaticDims.from_config(cfg_ba, 480, 640)
+    state_struct = jax.eval_shape(lambda: init_state(cfg_ba, 480, 640))
+    n_s = jax.ShapeDtypeStruct((), jnp.int32)
+    b_s = jax.ShapeDtypeStruct((), jnp.bool_)
+    W_ba = dims_ba.window
+    model_ba_el = cfg_ba.slam.ITER * (
+        36 * W_ba * W_ba + (6 * W_ba) ** 2 + 2 * 6 * W_ba
+    )
+
+    def hlo_allreduce_elements(n_dev):
+        mesh = get_mesh(n_dev, ("patch",))
+
+        def f(st, nn, init):
+            return sharded_slot_slam_update(
+                st, nn, init, dims_ba, cfg_ba.slam, mesh)
+
+        txt = jax.jit(f).lower(state_struct, n_s, b_s).compile().as_text()
+        total, shapes = 0, []
+        for line in txt.splitlines():
+            if " all-reduce(" not in line and " all-reduce-start(" not in line:
+                continue
+            lhs = line.split(" all-reduce", 1)[0]
+            for m in _re.finditer(r"([a-z][a-z0-9]*)\[([0-9,]*)\]", lhs):
+                dt, dims_str = m.group(1), m.group(2)
+                n_el = 1
+                for d in dims_str.split(","):
+                    if d:
+                        n_el *= int(d)
+                total += n_el
+                shapes.append(f"{dt}[{dims_str}]")
+        return total, shapes
+
+    ba_hlo = {}
+    for n in (2, 4, 8):
+        if n > len(jax.devices()):
+            continue
+        tot_el, shapes = hlo_allreduce_elements(n)
+        ba_hlo[str(n)] = {
+            "hlo_allreduce_elements": tot_el,
+            "model_elements": model_ba_el,
+            "hlo_over_model": round(tot_el / model_ba_el, 4),
+            "f32_kb_per_update": round(tot_el * 4 / 1e3, 1),
+            "hlo_shapes": sorted(set(shapes)),
+        }
+    print(json.dumps({
+        "metric": "ba_psum_bytes_hlo",
+        "shapes": {"W": W_ba, "ITER": cfg_ba.slam.ITER, "M": sb.PATCHES_PER_FRAME,
+                   "ring_slots": dims_ba.ring_slots, "dtype": "f32"},
+        "per_mesh": ba_hlo,
+        "notes": "all-reduce instruction sizes parsed from the compiled HLO "
+                 "of the full production sharded_slot_slam_update at "
+                 "davis_demo dims; hlo_over_model == 1 validates that the "
+                 "patch-sharded BA's collectives carry exactly the reduced "
+                 "pose/Schur/rhs blocks (B + EQE + vvec + Ew, ITER pose "
+                 "passes) and nothing else — no per-patch or per-edge "
+                 "arrays on the wire. Completes the HLO validation for the "
+                 "SECOND sharded program (VERDICT r4 #3); the r4 cost-model "
+                 "note's '~2 MB/iter' was the slots-mode accounting, the "
+                 "production patches-mode wire volume is ~75 KB/GN pose "
+                 "pass at W=16.",
+    }), flush=True)
+
     # ---- analytic per-collective cost model (real-chip projection) --------
     # The ONLY cross-device traffic in the sharded production forward is the
     # space-attention key/value all-gather (corr/flow/time-attention/MLPs are
@@ -316,15 +404,19 @@ def main() -> int:
         t_comm_ms = bytes_per_block / (ICI_GBPS * 1e9) * 1e3
         # unoverlapped (worst case): comm serialises after compute
         eff = MEASURED_BLOCK_MS / (MEASURED_BLOCK_MS / n_dev + t_comm_ms) / n_dev
-        # BA psum per iteration: (W,W,6,6)+(W,K,6) f32 reduced blocks
-        W_, K_ = 15, 20 * 400
-        ba_bytes = (W_ * W_ * 36 + W_ * K_ * 6 + 2 * K_ + W_ * 6) * 4
+        # BA psum per GN pose pass, PRODUCTION patches mode (HLO-validated,
+        # ba_psum_bytes_hlo): B (W,W,6,6) + EQE (6W,6W) + vvec + Ew — the
+        # per-patch E/C/w pieces never cross devices (the structure-only
+        # pass is collective-free)
+        W_ = 16
+        ba_bytes = (2 * 36 * W_ * W_ + 12 * W_) * 4
         ba_ms = ba_bytes / (ICI_GBPS * 1e9) * 1e3
         return {
             "allgather_mb_per_space_block": round(bytes_per_block / 1e6, 3),
             "comm_ms_per_block": round(t_comm_ms, 4),
             "comm_ms_per_forward": round(t_comm_ms * BLOCKS_PER_FWD, 3),
-            "ba_psum_ms_per_iter": round(ba_ms, 4),
+            "ba_psum_kb_per_pose_pass": round(ba_bytes / 1e3, 1),
+            "ba_psum_ms_per_pose_pass": round(ba_ms, 5),
             "tracker_efficiency_unoverlapped": round(min(1.0, eff), 3),
         }
 
@@ -342,8 +434,10 @@ def main() -> int:
                  "shards' packed K/V rows ((n-1)/n * N * 2C bf16). At "
                  "production shapes the gather is ~20 us vs ~3.2/n ms "
                  "compute — >=95% efficiency at 8 chips even with zero "
-                 "compute/comm overlap. The BA psum moves ~2 MB of reduced "
-                 "Schur blocks per iteration (never raw edges). Replaces "
+                 "compute/comm overlap. The BA psum moves ~75 KB of reduced "
+                 "pose/Schur/rhs blocks per GN pose pass (patches mode, "
+                 "HLO-validated in ba_psum_bytes_hlo; never raw edges or "
+                 "per-patch data). Replaces "
                  "the r2 'projected_real_chip_efficiency' field, which was "
                  "derived from shared-compute-mesh measurement noise.",
     }), flush=True)
