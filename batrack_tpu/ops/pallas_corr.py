@@ -49,12 +49,15 @@ GROUP = 32
 _FUSE_BUDGET_BYTES = 4 * 1024 * 1024
 
 
-def _corr_kernel_multi(coords_ref, targets_ref, *refs, radius, block_n,
-                       out_dim, dims, scales, group=GROUP, contract="vpu"):
+def _corr_kernel_multi(coords_ref, targets_ref, lvl_scale_ref, *refs, radius,
+                       block_n, out_dim, dims, scales, group=GROUP,
+                       contract="vpu"):
     """One (frame, track-block) program over `len(dims)` pyramid levels.
 
     refs = fmap_ref per level, then out_ref per level. coords are at the
     first level's resolution; level l samples at coords * scales[l].
+    lvl_scale_ref (SMEM, (L,)): per-level dequantisation scale folded into
+    the 1/sqrt(C) normaliser — 1.0 for bf16 fmaps, amax/127 for int8.
     """
     L = len(dims)
     fmap_refs = refs[:L]
@@ -65,6 +68,8 @@ def _corr_kernel_multi(coords_ref, targets_ref, *refs, radius, block_n,
     C = fmap_refs[0].shape[-1]
     S = targets_ref.shape[1]
     inv = np.float32(1.0 / np.sqrt(np.float32(C)))
+    # hoist the per-level scalar reads out of the track loop
+    lvl_inv = [lvl_scale_ref[l] * inv for l in range(L)]
 
     # targets are track-major (N, S, C) — the transformer layout, which the
     # output BlockSpec also emits so the tracker never pays an HBM relayout.
@@ -89,7 +94,7 @@ def _corr_kernel_multi(coords_ref, targets_ref, *refs, radius, block_n,
     col_p = jax.lax.broadcasted_iota(jnp.int32, (SLAB, d), 0)
     col_q = jax.lax.broadcasted_iota(jnp.int32, (SLAB, d), 1)
 
-    def window(fmap_ref, tg_k, cx, cy, Hp, Wp):
+    def window(fmap_ref, tg_k, cx, cy, Hp, Wp, lsc):
         x0 = jnp.floor(cx)
         y0 = jnp.floor(cy)
         dx = jnp.where(x0 < -(radius + 1), 0.0, cx - x0)
@@ -113,12 +118,12 @@ def _corr_kernel_multi(coords_ref, targets_ref, *refs, radius, block_n,
                 tg_k[:, None].astype(win.dtype),
                 (((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )[..., 0] * inv                                  # (D, SLAB)
+            )[..., 0] * lsc                                  # (D, SLAB)
         else:
             corr = jnp.sum(
                 win.astype(jnp.float32) * tg_k[None, None, :],
                 axis=-1,
-            ) * inv                                          # (D, SLAB)
+            ) * lsc                                          # (D, SLAB)
 
         # horizontal: select cols off..off+d and blend with dx in one
         # matmul  (SLAB, d): S[p, q] = (1-dx)[p==q+off] + dx[p==q+off+1]
@@ -146,7 +151,8 @@ def _corr_kernel_multi(coords_ref, targets_ref, *refs, radius, block_n,
                 Hp, Wp = dims[lvl]
                 sc = np.float32(scales[lvl])
                 rows[lvl].append(
-                    window(fmap_refs[lvl], tg[k], cx0 * sc, cy0 * sc, Hp, Wp)
+                    window(fmap_refs[lvl], tg[k], cx0 * sc, cy0 * sc, Hp, Wp,
+                           lvl_inv[lvl])
                 )
 
         for lvl in range(L):
@@ -158,8 +164,19 @@ def _corr_kernel_multi(coords_ref, targets_ref, *refs, radius, block_n,
     jax.lax.fori_loop(0, block_n // group, body, 0)
 
 
-def _pad_fmap(fmaps, radius):
-    """Zero-pad one level's (S, C, H, W) maps for aligned slab loads."""
+def _pad_fmap(fmaps, radius, fmap_dtype="bf16"):
+    """Zero-pad one level's (S, C, H, W) maps for aligned slab loads.
+
+    Returns (padded_fmap, dequant_scale). fmap_dtype:
+      * "bf16" — default residency (scale 1.0): a full f32 frame
+        double-buffered exceeds the ~16 MB VMEM budget at SLAM sizes; the
+        contraction accumulates in f32.
+      * "int8" — per-level symmetric quantisation (amax/127): halves the
+        VMEM window-load bytes again on this load-bound kernel (VERDICT r4
+        #6); the dequant scale is folded into the kernel's 1/sqrt(C)
+        normaliser. Zero padding is exactly 0 in int8, so the border
+        semantics are unchanged.
+    """
     pad = 2 * radius + 2
     fm = jnp.moveaxis(fmaps, 1, -1)  # (S, H, W, C)
     # the horizontal slab is SLAB-wide from an 8-aligned start, so the right
@@ -169,9 +186,11 @@ def _pad_fmap(fmaps, radius):
     slab = ((2 * radius + 2 + 7) // 8 + 1) * 8
     w_total = -((-(W + 2 * pad + slab)) // 8) * 8
     fm = jnp.pad(fm, ((0, 0), (pad, pad), (pad, w_total - W - pad), (0, 0)))
-    # bf16 residency: a full f32 frame double-buffered exceeds the ~16 MB
-    # VMEM budget at SLAM sizes; the contraction accumulates in f32.
-    return fm.astype(jnp.bfloat16)
+    if fmap_dtype == "int8":
+        amax = jnp.maximum(jnp.max(jnp.abs(fm)), 1e-12)
+        q = jnp.clip(jnp.round(fm * (127.0 / amax)), -127, 127)
+        return q.astype(jnp.int8), amax / 127.0
+    return fm.astype(jnp.bfloat16), jnp.float32(1.0)
 
 
 def corr_sample_levels_pallas(
@@ -184,17 +203,20 @@ def corr_sample_levels_pallas(
     group: int = GROUP,                 # static track unroll per loop step
     interpret: bool = False,
     contract: str = "vpu",              # channel contraction: "vpu" | "mxu"
+    fmap_dtype: str = "bf16",           # fmap VMEM residency: "bf16" | "int8"
 ) -> Sequence[jnp.ndarray]:
     """Fused correlation sampling for a group of pyramid levels.
 
     Returns one (N, S, (2r+1)^2) array per level. Numerically matches
     ops.corr.corr_sample_level (zero-padded bilinear window times feature,
     reference-transposed flatten, scaled by 1/sqrt(C)) with the feature maps
-    read in bf16 (f32 accumulation). Targets and outputs are track-major
-    (N, S, ...): the consumer (the tracker's transformer input concat) is
-    track-major, and emitting that layout from the kernel's output BlockSpec
-    is free, whereas an XLA moveaxis of the (S, N, LRR) tensor costs an HBM
-    relayout pass per iteration.
+    read in bf16 (f32 accumulation), or per-level-quantised int8 when
+    fmap_dtype="int8" (adds ~amax/254 absolute quantisation noise per
+    element, averaged down ~sqrt(C) by the channel sum). Targets and outputs
+    are track-major (N, S, ...): the consumer (the tracker's transformer
+    input concat) is track-major, and emitting that layout from the kernel's
+    output BlockSpec is free, whereas an XLA moveaxis of the (S, N, LRR)
+    tensor costs an HBM relayout pass per iteration.
     """
     L = len(fmaps_list)
     S, C, _, _ = fmaps_list[0].shape
@@ -204,12 +226,17 @@ def corr_sample_levels_pallas(
     assert group > 0 and block_n % group == 0, (
         f"group ({group}) must be positive and divide block_n ({block_n})"
     )
+    assert not (fmap_dtype == "int8" and contract == "mxu"), (
+        "int8 fmaps are only supported on the vpu contraction path"
+    )
     d = 2 * radius + 1
     out_dim = 128  # lane-padded row width per output window row
     if scales is None:
         scales = [0.5 ** l for l in range(L)]
 
-    fms = [_pad_fmap(fm, radius) for fm in fmaps_list]
+    padded = [_pad_fmap(fm, radius, fmap_dtype) for fm in fmaps_list]
+    fms = [p[0] for p in padded]
+    lvl_scales = jnp.stack([p[1] for p in padded]).astype(jnp.float32)
     dims = tuple((fm.shape[2], fm.shape[3]) for fm in fmaps_list)
 
     n_pad = (-N) % block_n
@@ -235,6 +262,7 @@ def corr_sample_levels_pallas(
                 (block_n, S, C), lambda s, nb: (nb, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ] + [
             pl.BlockSpec(
                 (1, fm.shape[1], fm.shape[2], C), lambda s, nb: (s, 0, 0, 0),
@@ -254,7 +282,7 @@ def corr_sample_levels_pallas(
             for _ in range(L)
         ],
         interpret=interpret,
-    )(coords_p, targets_p, *fms)
+    )(coords_p, targets_p, lvl_scales, *fms)
 
     # kernel windows are [y-offset, x-offset]; the reference layout is the
     # transpose (see ops/corr.py corr_sample_level) — swap before flattening
@@ -288,19 +316,21 @@ def corr_sample_pyramid_pallas(
     block_n: int = 256,
     interpret: bool = False,
     contract: str = "vpu",
+    fmap_dtype: str = "bf16",
 ) -> jnp.ndarray:
     """ops.corr.corr_sample_pyramid in the track-major (N, S, LRR) layout.
 
     Levels are grouped greedily under a VMEM budget: level 0 (the large map)
     usually runs alone, the small levels share one fused track loop.
     """
+    bytes_per = 1 if fmap_dtype == "int8" else 2
     pad_bytes = []
     for fm in pyramid:
         S, C, H, W = fm.shape
         slab = ((2 * radius + 2 + 7) // 8 + 1) * 8
         pad = 2 * radius + 2
         wt = -((-(W + 2 * pad + slab)) // 8) * 8
-        pad_bytes.append((H + 2 * pad) * wt * C * 2)
+        pad_bytes.append((H + 2 * pad) * wt * C * bytes_per)
 
     groups = []  # (start_lvl, [fmaps])
     cur, cur_bytes, cur_start = [], 0, 0
@@ -320,7 +350,7 @@ def corr_sample_pyramid_pallas(
                 fms, targets, coords / (2.0 ** start), radius,
                 scales=[0.5 ** l for l in range(len(fms))],
                 block_n=block_n, group=group, interpret=interpret,
-                contract=contract,
+                contract=contract, fmap_dtype=fmap_dtype,
             )
         )
     return jnp.concatenate(outs, axis=-1)

@@ -174,6 +174,19 @@ def test_pallas_corr_matches_xla(rng):
         np.moveaxis(np.asarray(out_mxu), 0, 1), np.asarray(ref), atol=3e-2
     )
 
+    # fmap_dtype="int8" variant (measured near-neutral on hardware — the
+    # kernel is load-ISSUE-bound, not byte-bound; ROOFLINE.md r5): same
+    # semantics within the per-level symmetric-quantisation budget
+    # (~amax/254 per element, averaged ~sqrt(C) down by the channel sum)
+    out_i8 = corr_sample_pyramid_pallas(
+        pyr, jnp.moveaxis(targets, 0, 1), coords, 3, interpret=True,
+        fmap_dtype="int8",
+    )
+    d = np.abs(np.moveaxis(np.asarray(out_i8), 0, 1) - np.asarray(ref))
+    scale = np.abs(np.asarray(ref)).max()
+    assert d.max() / scale < 2e-2, d.max() / scale
+    assert np.sqrt((d ** 2).mean()) / scale < 3e-3
+
 
 def test_fused_qkv_attention_matches_dense(rng):
     """Packed-qkv Pallas attention (interpret mode) == dense multi-head
