@@ -30,14 +30,19 @@ def build_stream(cfg):
 
     d = cfg.data
     depthdir_gt = d.depthdir_gt or d.depthdir
-    if d.depthdir_gt and d.traj_format not in ("sintel", "tartanair"):
+    if (d.depthdir_gt and d.depthdir_gt != d.depthdir
+            and d.traj_format not in ("sintel", "tartanair")):
         # neither the davis/generic Python streams nor the native loader
         # carry a separate gt-depth channel (the reference's don't either);
         # silently yielding depth_gt = prior depth would corrupt depth
-        # metrics, so reject the combination loudly
+        # metrics, so reject the combination loudly. depthdir_gt ==
+        # depthdir is allowed as a no-op: the reference's own demo
+        # (scripts/demo/run_sparse.sh) passes the same dir for both and
+        # davis_stream drops the argument (stream.py:231)
         raise ValueError(
-            f"data.depthdir_gt is only supported for traj_format "
-            f"sintel/tartanair, not {d.traj_format!r}"
+            f"data.depthdir_gt={d.depthdir_gt!r} differs from data.depthdir "
+            f"but traj_format {d.traj_format!r} has no gt-depth channel "
+            f"(only sintel/tartanair do)"
         )
     if d.native_prefetch and d.traj_format not in ("sintel", "tartanair"):
         # native C++ prefetch loader (decode/crop on background threads);

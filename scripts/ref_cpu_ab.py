@@ -1,56 +1,90 @@
 """Software-efficiency bound: the reference SLAM loop vs ours on the SAME
-CPU (VERDICT r3 #6).
+CPU, swept over configs (VERDICT r3 #6, r4 #1).
 
 The reference publishes no FPS and its A40 is unavailable here, but the
 parity harness already runs the full reference BATRACK (torch CPU, real
 ba.py/batrack.py) end-to-end. Timing both loops on identical hardware, same
 scene, same config, same oracle tracker isolates the SLAM/BA machinery's
-software efficiency — one measured anchor for BENCH notes in place of the
-naked reference_fps_estimate guess. (It is NOT an A40-vs-TPU statement: the
-tracker is oracle-stubbed on both sides and torch-CPU is not CUDA.)
+software efficiency. (It is NOT an A40-vs-TPU statement: the tracker is
+oracle-stubbed on both sides and torch-CPU is not CUDA.)
+
+r5 extends the single toy measurement to a CONFIG SWEEP that records, per
+config, the FPS ratio alongside the measured padded:live edge-work ratio —
+our static-shape loop processes its full edge-ring capacity E_CAP every BA
+pass, the reference processes exactly the edges it holds (len(slam.ii),
+instrumented below). The r4 claim was that the 0.42x toy anchor is the
+padding at its proportional worst and the ratio closes as padded:live
+improves; this script measures that trend instead of arguing it.
 
 Usage: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python scripts/ref_cpu_ab.py
+       [--configs toy,mid,large,exactfit]
 
 Run on an IDLE machine: both loops use all host cores, and eager torch
 degrades far more under core contention than the compiled XLA loop (a run
 concurrent with the pytest suite measured reference 0.63 FPS; concurrent
 XLA compiles measured 4.96; truly idle measures 10.4-10.9 — up to 17x
-distortion that flatters us). The recorded anchor is the truly-idle
-number: reference 10.88 vs ours 4.54 FPS (0.42x) at this TOY config
-(M=64, S_slam=4, BUFFER=64), where our fixed-capacity padding is at its
-proportionally worst; our side is stable across all runs (4.2-4.6).
+distortion that flatters us).
 """
 
+import argparse
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# name -> harness overrides. kf_stride=2 everywhere (the production value).
+# - toy:      the r4 anchor config (padding at its proportional worst).
+# - mid/large: padded:live improves as S_slam/RW grow toward davis_demo
+#   proportions (S=12, RW=20 IS the davis_demo window geometry).
+# - exactfit: RW >> S so each ring block stays ~fully live for ~all of its
+#   ring residency -> padded:live ~= 1; isolates the static-shape padding
+#   term from everything else (kernel storm, assembly formulation, ...).
+CONFIGS = {
+    "toy": dict(M=64, S_SLAM=4, RW=6, OPT=5, BUFFER=64, T_FRAMES=32),
+    "mid": dict(M=128, S_SLAM=8, RW=12, OPT=10, BUFFER=64, T_FRAMES=48),
+    "large": dict(M=256, S_SLAM=12, RW=20, OPT=15, BUFFER=80, T_FRAMES=64),
+    "exactfit": dict(M=64, S_SLAM=4, RW=48, OPT=5, BUFFER=112, T_FRAMES=96),
+}
 
-def main():
-    import jax
 
-    assert jax.default_backend() == "cpu", (
-        "run with PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu — this is a "
-        "same-hardware software A/B, not a TPU benchmark"
-    )
-    import test_slam_ref_parity as T
+def _apply(T, cfg):
+    for k, v in cfg.items():
+        setattr(T, k, v)
+    T.NUM_INIT = cfg["S_SLAM"]
 
+
+def _scene(T):
     import numpy as np
 
     import jax.numpy as jnp
     from batrack_tpu.geometry import se3
     from batrack_tpu.utils.synth import parity_scene
 
-    # the SAME scene as the parity suite's `scene` fixture — single
-    # definition, so "identical scene" stays true by construction
     ts = np.arange(T.T_FRAMES, dtype=np.float32)
-    scene = parity_scene(ts, T.HT, T.WD, T.INTR, se3, jnp, plane_z=T.PLANE_Z)
+    return parity_scene(ts, T.HT, T.WD, T.INTR, se3, jnp, plane_z=T.PLANE_Z)
 
-    import tempfile
+
+def _e_cap(T):
+    """Static edge capacity of our loop at the current harness config."""
+    from batrack_tpu.slam import StaticDims
+
+    cfg = T._our_cfg()
+    dims = StaticDims.from_config(cfg, T.HT, T.WD)
+    eps = (cfg.slam.S_slam // cfg.slam.kf_stride) * cfg.slam.PATCHES_PER_FRAME \
+        * cfg.slam.S_slam
+    return dims.ring_slots * eps
+
+
+def run_config(T, name, cfg):
+    import numpy as np
+
+    _apply(T, cfg)
+    scene = _scene(T)
+    frames = T.T_FRAMES
 
     # ours: first run compiles (excluded), second run is steady state
     t0 = time.perf_counter()
@@ -60,34 +94,86 @@ def main():
     T._run_ours(scene, {})
     ours_warm = time.perf_counter() - t0
 
-    # reference: torch has no compile phase; still time two passes
-    with tempfile.TemporaryDirectory() as td:
-        t0 = time.perf_counter()
-        T._run_reference(scene, td, {})
-        ref_cold = time.perf_counter() - t0
+    # reference pass 1 (cold, instrumented): record the exact edge count the
+    # reference BA processes at every update() call — the live-work
+    # denominator of the padded:live ratio
+    T._install_loop_stubs()
+    from main.batrack import BATRACK
+
+    live_counts = []
+    orig_update = BATRACK.update
+
+    def counting_update(self):
+        live_counts.append(int(self.ii.shape[0]))
+        return orig_update(self)
+
+    BATRACK.update = counting_update
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            t0 = time.perf_counter()
+            T._run_reference(scene, td, {})
+            ref_cold = time.perf_counter() - t0
+    finally:
+        BATRACK.update = orig_update
+
+    # reference pass 2 (warm, clean): the timed number
     with tempfile.TemporaryDirectory() as td:
         t0 = time.perf_counter()
         T._run_reference(scene, td, {})
         ref_warm = time.perf_counter() - t0
 
-    frames = T.T_FRAMES
-    print(json.dumps({
-        "metric": "slam_loop_cpu_software_ab",
+    e_cap = _e_cap(T)
+    live = np.asarray(live_counts, float)
+    steady = live[len(live) // 2:]
+    row = {
+        "config": name,
+        "knobs": dict(cfg, kf_stride=2, ITER=2),
         "frames": frames,
-        "config": f"M={T.M}, S_slam={T.S_SLAM}, {T.HT}x{T.WD}, ITER=2, "
-                  "oracle tracker on both sides",
-        "ours_warm_s": round(ours_warm, 2),
         "ours_fps": round(frames / ours_warm, 2),
-        "ours_cold_s": round(ours_cold, 2),
-        "reference_warm_s": round(ref_warm, 2),
         "reference_fps": round(frames / ref_warm, 2),
-        "reference_cold_s": round(ref_cold, 2),
-        "speedup_ours_vs_reference": round(ref_warm / ours_warm, 2),
-        "notes": "identical CPU, identical scene/config/oracle; isolates "
-                 "the SLAM/BA machinery (XLA-compiled static-shape loop vs "
-                 "the reference's eager torch small-kernel loop). Not an "
-                 "A40 measurement.",
-    }))
+        "fps_ratio_ours_over_ref": round(ref_warm and (frames / ours_warm)
+                                         / (frames / ref_warm), 3),
+        "ours_cold_s": round(ours_cold, 1),
+        "ref_cold_s": round(ref_cold, 1),
+        "edge_capacity_ours": int(e_cap),
+        "ref_live_edges_mean": round(float(live.mean()), 1),
+        "ref_live_edges_steady_mean": round(float(steady.mean()), 1),
+        "ref_live_edges_max": int(live.max()),
+        "padded_to_live_mean": round(e_cap / float(live.mean()), 2),
+        "padded_to_live_steady": round(e_cap / float(steady.mean()), 2),
+    }
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="toy,mid,large,exactfit")
+    args = ap.parse_args()
+
+    import jax
+
+    assert jax.default_backend() == "cpu", (
+        "run with PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu — this is a "
+        "same-hardware software A/B, not a TPU benchmark"
+    )
+    import test_slam_ref_parity as T
+
+    rows = [run_config(T, n, CONFIGS[n]) for n in args.configs.split(",")]
+    summary = {
+        "metric": "slam_loop_cpu_software_ab_sweep",
+        "rows": [{k: r[k] for k in ("config", "ours_fps", "reference_fps",
+                                    "fps_ratio_ours_over_ref",
+                                    "padded_to_live_mean",
+                                    "padded_to_live_steady")} for r in rows],
+        "notes": "identical CPU, identical scene/config/oracle per row; "
+                 "isolates the SLAM/BA machinery (XLA-compiled static-shape "
+                 "loop vs the reference's eager torch exact-size loop). "
+                 "padded_to_live = our static edge capacity / the "
+                 "instrumented count of edges the reference actually "
+                 "processes per BA update. Not an A40 measurement.",
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

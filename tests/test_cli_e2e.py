@@ -1,0 +1,193 @@
+"""End-to-end execution of the stage-2 CLI `run_slam.main()` and the demo
+shell protocol (VERDICT r4 missing #1 / next #5).
+
+The reference's primary entry point is `main/run_batrack.py:82-113` (argv ->
+config -> stream -> frame loop -> error_sum.txt / eval_metrics.txt /
+batrack_traj.txt / results.pkl / plot); until r5 our equivalent
+`cli/run_slam.py::main` was only tested piecewise. Here the ACTUAL main()
+runs on synthetic datasets written to tmp in both shipped on-disk formats:
+
+  * Sintel format (.cam intrinsics+extrinsics, .dpt depth, separate gt
+    depth dir, gt trajectory from the camdir) — exercises the full eval
+    path: eval_metrics.txt + error_sum.txt appended, values cross-checked
+    against a direct eval_metrics() call on the saved trajectory;
+  * DAVIS format via `scripts/demo/run_sparse.sh` in a subprocess —
+    exercises the per-frame-K .npy calib dir, the demo script's
+    depthdir_gt==depthdir pass-through (reference scripts/demo/
+    run_sparse.sh does the same), and the artifact protocol.
+
+The tracker is the real MDTracker at random init (tiny architecture): the
+test asserts the wiring and artifact protocol, not trajectory accuracy.
+"""
+
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from test_data_config import write_sintel_cam, write_sintel_dpt
+from test_slam_e2e import HT, INTR, WD, gt_trajectory, plane_depth
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+T = 14
+
+# tiny-but-real pipeline config (the real MDTracker, random init)
+SMALL_OVERRIDES = [
+    "slam.BUFFER_SIZE=32", "slam.PATCHES_PER_FRAME=16",
+    "slam.PATCH_GEN=grid_grad_4", "slam.S_slam=4", "slam.num_init=4",
+    "slam.kf_stride=2", "slam.REMOVAL_WINDOW=6", "slam.OPTIMIZATION_WINDOW=5",
+    "slam.MIN_TRACK_LEN=2", "slam.ITER=2", "slam.BA_EP=0.1",
+    "slam.backward_tracking=false",
+    "model.S=4", "model.sliding_window_len=4", "model.I=1",
+    "model.static_iters=1", "model.interp_shape=[48, 64]",
+    "model.space_depth=2", "model.time_depth=2", "model.space_depth_dyn=1",
+    "model.time_depth_dyn=1", "model.init_dir=",
+    "model.compute_dtype=float32",
+]
+
+
+def _scene():
+    rng = np.random.default_rng(5)
+    poses = gt_trajectory(T)
+    depths = np.stack([plane_depth(p) for p in poses])
+    images = rng.integers(0, 255, size=(T, HT, WD, 3)).astype(np.uint8)
+    return poses, depths, images
+
+
+def _write_davis(root):
+    import cv2
+
+    poses, depths, images = _scene()
+    imdir, ddir, kdir = root / "rgb", root / "depth", root / "calib"
+    for d in (imdir, ddir, kdir):
+        d.mkdir(parents=True)
+    K = np.array([[INTR[0], 0, INTR[2]], [0, INTR[1], INTR[3]], [0, 0, 1]])
+    for t in range(T):
+        cv2.imwrite(str(imdir / f"{t:05d}.png"),
+                    cv2.cvtColor(images[t], cv2.COLOR_RGB2BGR))
+        np.save(ddir / f"{t:05d}.npy", depths[t])
+        np.save(kdir / f"{t:05d}.npy", K)
+    return imdir, ddir, kdir, poses
+
+
+def _write_sintel(root):
+    import cv2
+
+    from batrack_tpu.geometry import se3
+    import jax.numpy as jnp
+
+    poses, depths, images = _scene()
+    imdir, ddir, gdir, cdir = (root / "rgb", root / "depth", root / "depth_gt",
+                               root / "cam")
+    for d in (imdir, ddir, gdir, cdir):
+        d.mkdir(parents=True)
+    K = np.array([[INTR[0], 0, INTR[2]], [0, INTR[1], INTR[3]], [0, 0, 1]])
+    mats = np.asarray(se3.matrix(jnp.asarray(poses)))  # w2c 4x4
+    for t in range(T):
+        cv2.imwrite(str(imdir / f"frame_{t:04d}.png"),
+                    cv2.cvtColor(images[t], cv2.COLOR_RGB2BGR))
+        # prior depth = stage-1 .npy output; gt depth = Sintel-native .dpt
+        # (stream.py:105-117 globs exactly these per-channel extensions)
+        np.save(ddir / f"frame_{t:04d}.npy", depths[t])
+        # gt depth: slightly perturbed so the two channels are distinct
+        write_sintel_dpt(gdir / f"frame_{t:04d}.dpt", depths[t] * 1.01)
+        write_sintel_cam(cdir / f"frame_{t:04d}.cam", K, mats[t][:3])
+    return imdir, ddir, gdir, cdir, poses
+
+
+@pytest.mark.slow
+def test_run_slam_main_sintel_full_protocol(tmp_path):
+    from batrack_tpu.cli.run_slam import main
+    from batrack_tpu.utils.evaluation import eval_metrics
+    from batrack_tpu.utils.traj import load_traj, read_tum_file
+
+    imdir, ddir, gdir, cdir, poses = _write_sintel(tmp_path / "data")
+    savedir = tmp_path / "out"
+    rc = main([
+        f"data.imagedir={imdir}", f"data.depthdir={ddir}",
+        f"data.depthdir_gt={gdir}", f"data.calib={cdir}",
+        f"data.gt_traj={cdir}", "data.traj_format=sintel",
+        f"data.savedir={savedir}", "data.name=synth",
+        "save_results=true", "save_trajectory=true", "save_plot=true",
+    ] + SMALL_OVERRIDES)
+    assert rc == 0
+
+    outdir = savedir / "synth"
+    traj_file = outdir / "batrack_traj.txt"
+    assert traj_file.exists()
+    pred, ts = read_tum_file(str(traj_file))
+    assert pred.shape == (T, 7) and np.isfinite(pred).all()
+
+    with open(outdir / "results.pkl", "rb") as f:
+        res = pickle.load(f)
+    assert res["cams_T_world"].shape == (T, 4, 4)
+    assert res["dmaps"].shape[0] == T
+    assert res["dmaps_gt"].shape[0] == T
+    assert res["rgbs"].shape[0] == T
+    # gt depth channel really is the separate directory's content
+    assert not np.allclose(res["dmaps"], res["dmaps_gt"])
+    assert (outdir / "traj_plot.pdf").stat().st_size > 0
+
+    # eval artifacts parse, and the recorded ATE matches a direct call
+    assert (outdir / "eval_metrics.txt").exists()
+    err_sum = (savedir / "error_sum.txt").read_text().splitlines()
+    assert err_sum[0].startswith("synth")
+    ate_logged = float(err_sum[1])
+    gt = load_traj(str(cdir), "sintel")
+    ate, rpe_t, rpe_r = eval_metrics((pred, ts), gt_traj=gt, seq="recheck",
+                                     filename=str(tmp_path / "recheck.txt"))
+    # error_sum.txt records %.5f — compare at its rounding granularity
+    assert abs(ate - ate_logged) < 1e-5, (ate, ate_logged)
+    assert float(err_sum[2]) == pytest.approx(rpe_t, abs=1e-5)
+    assert float(err_sum[3]) == pytest.approx(rpe_r, abs=1e-5)
+
+
+@pytest.mark.slow
+def test_run_sparse_sh_davis_protocol(tmp_path):
+    """The demo shell wrapper end to end: scripts/demo/run_sparse.sh with the
+    reference's own argument pattern (depthdir_gt == depthdir, per-frame-K
+    calib dir) on a synthetic DAVIS-format dataset."""
+    imdir, ddir, kdir, poses = _write_davis(tmp_path / "davis_raw")
+    # run_sparse.sh expects $DATA_DIR/$SCENE, $DEPTH_DIR/unidepth_da/$SCENE,
+    # $DEPTH_DIR/unidepth_da_intrinsics/$SCENE
+    scene = "plane"
+    data_dir = tmp_path / "data"
+    depth_root = tmp_path / "Monodepth"
+    data_dir.mkdir()
+    (data_dir / scene).symlink_to(imdir, target_is_directory=True)
+    (depth_root / "unidepth_da").mkdir(parents=True)
+    (depth_root / "unidepth_da" / scene).symlink_to(ddir, True)
+    (depth_root / "unidepth_da_intrinsics").mkdir()
+    (depth_root / "unidepth_da_intrinsics" / scene).symlink_to(kdir, True)
+
+    savedir = tmp_path / "out"
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": "",
+        "PYTHONPATH": REPO,
+        "DATA_DIR": str(data_dir), "DEPTH_DIR": str(depth_root),
+        "SAVE_DIR": str(savedir), "SCENES": scene,
+        "CONFIG": os.path.join(REPO, "configs", "davis_demo.yaml"),
+    })
+    r = subprocess.run(
+        ["bash", os.path.join(REPO, "scripts", "demo", "run_sparse.sh")]
+        + SMALL_OVERRIDES + ["save_video=false"],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=1200,
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+
+    outdir = savedir / scene
+    assert (outdir / "batrack_traj.txt").exists()
+    from batrack_tpu.utils.traj import read_tum_file
+
+    pred, _ = read_tum_file(str(outdir / "batrack_traj.txt"))
+    assert pred.shape == (T, 7) and np.isfinite(pred).all()
+    with open(outdir / "results.pkl", "rb") as f:
+        res = pickle.load(f)
+    assert res["cams_T_world"].shape == (T, 4, 4)
+    # davis: per-frame K flows from the .npy calib dir into the results
+    assert np.allclose(res["intrinsics"][0], INTR)
+    assert (outdir / "traj_plot.pdf").stat().st_size > 0

@@ -57,7 +57,11 @@ T_FRAMES = 32
 M = 64
 S_SLAM, KF = 4, 2
 NUM_INIT = 4
+BUFFER = 64
+RW, OPT = 6, 5  # REMOVAL_WINDOW / OPTIMIZATION_WINDOW
 KF_INDEX, KF_THRESH = 3, 1.0  # keyframe-removal knobs (stop-and-go test)
+# module-level so scripts/ref_cpu_ab.py can sweep the config (VERDICT r4 #1)
+# by patching these attributes — the test values above never change
 
 
 class _CudaToCpu(torch.overrides.TorchFunctionMode):
@@ -127,8 +131,8 @@ def _install_loop_stubs():
 def _ref_cfg(tmpdir, use_keyframe=False):
     slam = _C(
         MOTION_MODEL="DAMPED_LINEAR", MOTION_DAMPING=0.5, BA_mode="rgbd_dual_ba",
-        REMOVAL_WINDOW=6, OPTIMIZATION_WINDOW=5, PATCHES_PER_FRAME=M,
-        BUFFER_SIZE=64, PATCH_GEN="grid", ITER=2, LOSS="huber",
+        REMOVAL_WINDOW=RW, OPTIMIZATION_WINDOW=OPT, PATCHES_PER_FRAME=M,
+        BUFFER_SIZE=BUFFER, PATCH_GEN="grid", ITER=2, LOSS="huber",
         USE_MAP_FILTERING=True, MAP_FILTERING_TH=5.0, MIN_TRACK_LEN=2,
         TRAJ_INIT=False, VIS_THRESHOLD=0.9, STATIC_THRESHOLD=0.1,
         STATIC_QUANTILE=0.0, S_slam=S_SLAM, kf_stride=KF, num_init=NUM_INIT,
@@ -145,14 +149,14 @@ def _ref_cfg(tmpdir, use_keyframe=False):
 def _our_cfg(use_keyframe=False) -> Config:
     cfg = Config()
     s = cfg.slam
-    s.BUFFER_SIZE = 64
+    s.BUFFER_SIZE = BUFFER
     s.PATCHES_PER_FRAME = M
     s.PATCH_GEN = "sift"  # routed through coords_override -> fixed grid
     s.S_slam = S_SLAM
     s.kf_stride = KF
     s.num_init = NUM_INIT
-    s.REMOVAL_WINDOW = 6
-    s.OPTIMIZATION_WINDOW = 5
+    s.REMOVAL_WINDOW = RW
+    s.OPTIMIZATION_WINDOW = OPT
     s.MIN_TRACK_LEN = 2
     s.ITER = 2
     s.BA_EP = 10.0  # the reference hardcodes ep=10 (batrack.py:861)
@@ -163,10 +167,14 @@ def _our_cfg(use_keyframe=False) -> Config:
 
 
 def _grid_coords():
-    """Fixed 8x8 pixel grid, identical for both loops."""
-    g = int(np.sqrt(M))
-    xs = np.linspace(30, WD - 31, g).round()
-    ys = np.linspace(30, HT - 31, g).round()
+    """Fixed gx x gy pixel grid with exactly M points, identical for both
+    loops (gx = gy = sqrt(M) when M is a perfect square)."""
+    gy = int(np.sqrt(M))
+    while M % gy:
+        gy -= 1
+    gx = M // gy
+    xs = np.linspace(30, WD - 31, gx).round()
+    ys = np.linspace(30, HT - 31, gy).round()
     x, y = np.meshgrid(xs, ys)
     return np.stack([x.reshape(-1), y.reshape(-1)], -1).astype(np.float32)
 
