@@ -94,6 +94,7 @@ ARCH_CONFIGS = {
 }
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("arch", ["vitb", "vitl"])
 def test_full_forward_parity_other_arches(arch, rng):
     """vitb/vitl converters + wiring end-to-end (run_videos_v2.py:41-46

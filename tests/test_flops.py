@@ -63,6 +63,7 @@ def test_production_breakdown_reconciles_with_prepallas_metering():
     assert br["updateformer_main"] > 0.5 * br["total"]
 
 
+@pytest.mark.slow
 def test_static_branch_is_dce_when_output_discarded():
     """Production configs (use_static_mask/use_static both off) never read
     the static-branch refinement output, so the adapter's jit discards

@@ -3,6 +3,7 @@ references (SURVEY.md §4c: patchify/corr checked vs pure numpy)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from batrack_tpu.ops import (
     avg_pool2d,
@@ -142,6 +143,7 @@ def test_interpolate_align_corners_endpoints(rng):
     np.testing.assert_allclose(out[:, -1, -1], x[:, -1, -1], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_corr_matches_xla(rng):
     """Fused Pallas correlation kernel (interpret mode) == XLA path within
     bf16 feature-map tolerance, including far out-of-range coords."""

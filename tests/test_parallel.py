@@ -46,6 +46,7 @@ def test_devices_available():
     assert len(jax.devices()) == 8, jax.devices()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_dev", [2, 4, 8])
 def test_sharded_ba_matches_single(rng, n_dev):
     prob = make_problem(rng)
@@ -56,6 +57,7 @@ def test_sharded_ba_matches_single(rng, n_dev):
     np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_sharded_ba_structure_only(rng):
     prob = make_problem(rng)
     mesh = get_mesh(4, ("edge",))
@@ -65,6 +67,7 @@ def test_sharded_ba_structure_only(rng):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_tracker_matches_single(rng):
     from batrack_tpu.parallel.sharded_tracker import sharded_tracker_apply
     from batrack_tpu.tracker.mdtracker import MDTracker, TrackerParams
@@ -115,6 +118,7 @@ def test_sharded_tracker_matches_single(rng):
     )
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     import __graft_entry__
 
@@ -148,6 +152,7 @@ def test_sharded_space_attention_block_parity(rng):
     np.testing.assert_allclose(np.asarray(ref), np.asarray(fwd(x)), atol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_dev", [2, 4, 8])
 def test_patch_sharded_slot_ba_matches_single(rng, n_dev):
     """The production multi-chip BA layout: patch axis sharded, distributed
@@ -203,6 +208,7 @@ def test_patch_sharded_slot_ba_matches_single(rng, n_dev):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_sharded_pallas_corr_matches_xla(rng):
     """shard_map'd corr kernel == XLA gather-contract over the track axis,
     including a track count NOT divisible by the mesh (pad path)."""
@@ -281,6 +287,7 @@ def _mesh_loop_scene(T=16, ht=48, wd=64):
     return images, np.stack(depths), intr, poses
 
 
+@pytest.mark.slow
 def test_real_tracker_under_mesh_full_loop():
     """The REAL MDTracker (not the oracle), Pallas kernels ON (interpret
     mode), inside the full BATrack production loop under a 4-device mesh:
@@ -347,6 +354,7 @@ def test_real_tracker_under_mesh_full_loop():
     assert d < 1e-3, f"mesh-vs-single trajectory diverged: {d}"
 
 
+@pytest.mark.slow
 def test_keyframe_removal_under_mesh_full_loop():
     """use_keyframe removal inside the full loop under a 4-device mesh
     (edge-sharded flat BA — the backend use_keyframe forces): same removals

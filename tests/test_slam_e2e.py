@@ -394,6 +394,7 @@ class TestSiftPatchGen:
         assert (kp[:, 1] >= 4).all() and (kp[:, 1] <= HT - 4).all()
 
 
+@pytest.mark.slow
 def test_windowed_point_cloud_matches_full(scene):
     """The windowed per-frame local-target overwrite equals the full-buffer
     pass: rows leave the window already holding their final values. (The
@@ -456,6 +457,7 @@ def test_lazy_world_trajectories_match_incremental(scene):
     np.testing.assert_allclose(lazy, np.asarray(shadow[:live]), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_append_matches_legacy_path(scene):
     """BATrack with an MDTrackerAdapter must produce the same trajectory
     through the single-dispatch fused append jit as through the legacy
@@ -534,6 +536,7 @@ class TestDynamicSceneRobustness:
         assert err_ungated > 2.5 * err_gated, (err_gated, err_ungated)
 
 
+@pytest.mark.slow
 def test_windowed_point_cloud_s_slam_dominant(scene):
     """Same equality with a BA window much smaller than the append window:
     rows appended by gate_and_append up to S_slam frames back must still be

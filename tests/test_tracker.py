@@ -242,6 +242,7 @@ def test_scrambled_concat_matches_torch(rng):
     np.testing.assert_array_equal(np.asarray(out), ref)
 
 
+@pytest.mark.slow
 def test_converter_structure_matches_init():
     """Converted param tree has exactly the structure MDTracker.init makes."""
     p = TrackerParams(S=4, interp_shape=(32, 48))
@@ -296,6 +297,7 @@ class TestMDTrackerForward:
             assert np.isfinite(np.asarray(out)).all()
         assert ((np.asarray(vis) >= 0) & (np.asarray(vis) <= 1)).all()
 
+    @pytest.mark.slow
     def test_multi_window_runs(self, rng):
         p = TrackerParams(S=4, iters=1, static_iters=1, interp_shape=(32, 48))
         model = MDTracker(p)
@@ -390,6 +392,7 @@ def test_adapter_static_merge():
     assert jnp.allclose(t2, traj) and jnp.allclose(d2, depth)
 
 
+@pytest.mark.slow
 def test_train_outputs_and_training_step(rng):
     """train=True exposes the reference's is_train surface (per-window,
     per-iteration predictions, md_tracker.py:646-667) and the whole network
@@ -449,6 +452,7 @@ def test_train_outputs_and_training_step(rng):
     # detach-free configuration.
 
 
+@pytest.mark.slow
 def test_train_gradient_matches_fd(rng):
     """At iters=1/static_iters=0 the initial coords are parameter-free
     constants, so the per-iteration detach is the identity and autodiff

@@ -206,6 +206,7 @@ def test_full_model_smoke(rng):
     assert (np.asarray(out["depth"]) > 0).all()
 
 
+@pytest.mark.slow
 def test_infer_output_selection(rng):
     """infer(outputs=...) computes/transfers only the requested maps, with
     values identical to the full-output run, and gt intrinsics pass

@@ -186,6 +186,7 @@ def test_infer_parity_resized(small_nets, rng, with_K):
         assert k_err < 1e-4, f"K rel err {k_err}"
 
 
+@pytest.mark.slow
 def test_depth_head_prenorm_parity(small_nets, rng):
     """Mechanism-level assertion behind the depth bound above: the PRE-NORM
     logdepth maps of the two implementations agree at the feature class,
