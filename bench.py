@@ -279,14 +279,17 @@ def main() -> int:
         "mfu": round(mfu, 4),
         "notes": "vs_baseline null: reference publishes no FPS "
                  "(BASELINE.md); reference_fps_estimate is a guess, not a "
-                 "measurement. Measured software anchor (r4, "
-                 "scripts/ref_cpu_ab.py, idle host): the full reference "
-                 "loop vs ours on identical CPU/scene/config = 10.88 vs "
-                 "4.54 FPS (0.42x — our static-shape padding costs real "
-                 "cycles on CPU but is free on TPU lanes, and is at its "
-                 "proportional worst at that toy config; see ROOFLINE.md "
-                 "Reference comparison). Measured on one TPU v5e chip via "
-                 "tunnel; "
+                 "measurement. Measured software anchor (r5 config sweep, "
+                 "scripts/ref_cpu_ab.py, idle host, steady-state frames): "
+                 "the full reference loop vs ours on identical "
+                 "CPU/scene/config is 10.5-14.7x IN OUR FAVOR across four "
+                 "configs from toy to davis-proportioned (e.g. "
+                 "M=256/S=12/RW=20: ours 8.78 vs reference 0.73 FPS), "
+                 "flat as the padded:live edge ratio moves 1.0-1.6. The "
+                 "r4 '0.42x' anchor is retired as an artifact: it timed "
+                 "per-run jit re-tracing (~8 s fixed per fresh pipeline), "
+                 "not the loop (ROOFLINE.md Reference comparison). "
+                 "Measured on one TPU v5e chip via tunnel; "
                  "BASELINE.md target hardware is a v5p host. stage_ms are "
                  "amortised per-stage device times (single flush per rep "
                  "loop); predicted vs measured ms/2frames is the "

@@ -79,6 +79,22 @@ def _e_cap(T):
     return dims.ring_slots * eps
 
 
+def _steady_fps(frame_times, num_init):
+    """Per-frame FPS over the steady tail of ONE run.
+
+    The first frames of our run pay one-time jit trace/lower per stage (the
+    XLA executables are compile-cached, but a fresh BATrack re-traces; a
+    production process pays this once, not per sequence) and the
+    reference's first frames skip the BA — both sides therefore measure
+    FPS over the identical steady window: after num_init + 6 frames, by
+    which every jit has fired and every update runs the full dual BA."""
+    k = num_init + 6
+    if len(frame_times) <= k + 4:
+        k = len(frame_times) // 2
+    span = frame_times[-1] - frame_times[k]
+    return (len(frame_times) - 1 - k) / span
+
+
 def run_config(T, name, cfg):
     import numpy as np
 
@@ -86,13 +102,17 @@ def run_config(T, name, cfg):
     scene = _scene(T)
     frames = T.T_FRAMES
 
-    # ours: first run compiles (excluded), second run is steady state
+    # ours: first run compiles (excluded), second run is timed; whole-run
+    # time still includes ~7 s of per-run jit RE-TRACING for the fresh
+    # BATrack instance (measured: warm runs at T=16 and T=32 both cost ~8 s
+    # — the marginal frame cost is what the steady window isolates)
     t0 = time.perf_counter()
     T._run_ours(scene, {})
     ours_cold = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    T._run_ours(scene, {})
-    ours_warm = time.perf_counter() - t0
+    ours_ft = [time.perf_counter()]
+    T._run_ours(scene, {}, frame_times=ours_ft)
+    ours_warm = ours_ft[-1] - ours_ft[0]
+    ours_steady = _steady_fps(ours_ft, cfg["S_SLAM"])
 
     # reference pass 1 (cold, instrumented): record the exact edge count the
     # reference BA processes at every update() call — the live-work
@@ -117,10 +137,11 @@ def run_config(T, name, cfg):
         BATRACK.update = orig_update
 
     # reference pass 2 (warm, clean): the timed number
+    ref_ft = [time.perf_counter()]
     with tempfile.TemporaryDirectory() as td:
-        t0 = time.perf_counter()
-        T._run_reference(scene, td, {})
-        ref_warm = time.perf_counter() - t0
+        T._run_reference(scene, td, {}, frame_times=ref_ft)
+    ref_warm = ref_ft[-1] - ref_ft[0]
+    ref_steady = _steady_fps(ref_ft, cfg["S_SLAM"])
 
     e_cap = _e_cap(T)
     live = np.asarray(live_counts, float)
@@ -129,10 +150,11 @@ def run_config(T, name, cfg):
         "config": name,
         "knobs": dict(cfg, kf_stride=2, ITER=2),
         "frames": frames,
-        "ours_fps": round(frames / ours_warm, 2),
-        "reference_fps": round(frames / ref_warm, 2),
-        "fps_ratio_ours_over_ref": round(ref_warm and (frames / ours_warm)
-                                         / (frames / ref_warm), 3),
+        "ours_steady_fps": round(ours_steady, 2),
+        "reference_steady_fps": round(ref_steady, 2),
+        "steady_ratio_ours_over_ref": round(ours_steady / ref_steady, 3),
+        "ours_fps_whole_run": round(frames / ours_warm, 2),
+        "reference_fps_whole_run": round(frames / ref_warm, 2),
         "ours_cold_s": round(ours_cold, 1),
         "ref_cold_s": round(ref_cold, 1),
         "edge_capacity_ours": int(e_cap),
@@ -162,14 +184,17 @@ def main():
     rows = [run_config(T, n, CONFIGS[n]) for n in args.configs.split(",")]
     summary = {
         "metric": "slam_loop_cpu_software_ab_sweep",
-        "rows": [{k: r[k] for k in ("config", "ours_fps", "reference_fps",
-                                    "fps_ratio_ours_over_ref",
+        "rows": [{k: r[k] for k in ("config", "ours_steady_fps",
+                                    "reference_steady_fps",
+                                    "steady_ratio_ours_over_ref",
                                     "padded_to_live_mean",
                                     "padded_to_live_steady")} for r in rows],
         "notes": "identical CPU, identical scene/config/oracle per row; "
                  "isolates the SLAM/BA machinery (XLA-compiled static-shape "
-                 "loop vs the reference's eager torch exact-size loop). "
-                 "padded_to_live = our static edge capacity / the "
+                 "loop vs the reference's eager torch exact-size loop), "
+                 "steady-state frames only (both sides' warm-up excluded — "
+                 "our per-run jit retrace and the reference's pre-init "
+                 "frames). padded_to_live = our static edge capacity / the "
                  "instrumented count of edges the reference actually "
                  "processes per BA update. Not an A40 measurement.",
     }

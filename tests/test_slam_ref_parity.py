@@ -193,7 +193,11 @@ DYN_KW = dict(
 )
 
 
-def _run_ours(scene, oracle_kw, use_keyframe=False):
+def _run_ours(scene, oracle_kw, use_keyframe=False, frame_times=None):
+    """frame_times: optional list; perf_counter appended after every frame
+    (scripts/ref_cpu_ab.py uses it to time the steady-state loop separately
+    from the per-run jit retrace overhead). A scalar fetch from the donated
+    state flushes XLA's async dispatch before each timestamp."""
     poses_gt, depths, images = scene
     cfg = _our_cfg(use_keyframe)
     dims = StaticDims.from_config(cfg, HT, WD)
@@ -209,12 +213,18 @@ def _run_ours(scene, oracle_kw, use_keyframe=False):
     try:
         for t in range(T_FRAMES):
             slam(t, images[t], depths[t], INTR)
+            if frame_times is not None:
+                import time
+
+                float(slam.state.poses[0, 0])  # flush async dispatch
+                frame_times.append(time.perf_counter())
     finally:
         ingest_mod.generate_patches_sift = orig
     return slam.terminate() + (sorted(slam.delta.keys()),)
 
 
-def _run_reference(scene, tmpdir, oracle_kw, use_keyframe=False):
+def _run_reference(scene, tmpdir, oracle_kw, use_keyframe=False,
+                   frame_times=None):
     poses_gt, depths, images = scene
     _install_loop_stubs()
     from main.batrack import BATRACK
@@ -275,6 +285,10 @@ def _run_reference(scene, tmpdir, oracle_kw, use_keyframe=False):
             img = torch.from_numpy(images[t]).permute(2, 0, 1)  # (3, H, W)
             dep = torch.from_numpy(depths[t])[None]             # (1, H, W)
             slam(t, img, dep, torch.tensor(INTR))
+            if frame_times is not None:
+                import time
+
+                frame_times.append(time.perf_counter())
         return slam.terminate() + (sorted(slam.delta.keys()),)
 
 
