@@ -232,6 +232,14 @@ def main(argv=None) -> int:
             skip=cfg.data.skip, stride=cfg.data.stride, end=cfg.data.end,
         )
 
+    # multi-host: every process runs the identical SPMD loop, but artifacts
+    # are written once (process 0) — concurrent writes to the shared savedir
+    # would race
+    import jax as _jax
+
+    if _jax.process_index() != 0:
+        return 0
+
     outdir = os.path.join(cfg.data.savedir, cfg.data.name)
     os.makedirs(outdir, exist_ok=True)
 

@@ -80,6 +80,18 @@ def init_distributed(
     in_cluster = any(os.environ.get(k) for k in env_keys)
     if not (has_explicit or in_cluster):
         return  # single-process local run: nothing to initialize
+    # jax.distributed.initialize resolves cluster environments (SLURM, OMPI,
+    # Cloud TPU metadata) itself but does NOT read the plain
+    # JAX_NUM_PROCESSES / JAX_PROCESS_ID variables — fill them in explicitly
+    # so the documented env-var contract actually works
+    # (tests/test_cli_e2e.py::test_run_slam_main_two_process_distributed)
+    if coordinator_address is None:
+        coordinator_address = os.environ.get(
+            "JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     # raise loudly on failure — a silent fallback to single-host is the
     # worst outcome for a job the user asked to distribute
     jax.distributed.initialize(

@@ -146,6 +146,67 @@ def test_run_slam_main_sintel_full_protocol(tmp_path):
 
 
 @pytest.mark.slow
+def test_run_slam_main_two_process_distributed(tmp_path):
+    """The user-facing multi-host path: `slam.distributed=true` through the
+    ACTUAL CLI in 2 coordinated processes (x4 virtual chips each). Process 0
+    writes the artifacts once; process 1 runs the identical SPMD loop and
+    exits clean without racing on the savedir."""
+    import socket
+
+    imdir, ddir, kdir, poses = _write_davis(tmp_path / "davis_raw")
+    savedir = tmp_path / "out"
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    def env_for(pid):
+        env = dict(os.environ)
+        env.update({
+            "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": "",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "PYTHONPATH": REPO,
+            "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+            "JAX_NUM_PROCESSES": "2", "JAX_PROCESS_ID": str(pid),
+        })
+        return env
+
+    argv = [
+        sys.executable, "-m", "batrack_tpu.cli.run_slam",
+        f"data.imagedir={imdir}", f"data.depthdir={ddir}",
+        f"data.calib={kdir}", "data.traj_format=davis",
+        f"data.savedir={savedir}", "data.name=dist",
+        "slam.distributed=true", "slam.mesh_devices=8",
+        "save_results=true", "save_trajectory=true", "save_plot=false",
+    ] + SMALL_OVERRIDES
+    procs = [
+        subprocess.Popen(argv, env=env_for(pid), cwd=REPO,
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out.decode())
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+
+    from batrack_tpu.utils.traj import read_tum_file
+
+    outdir = savedir / "dist"
+    pred, _ = read_tum_file(str(outdir / "batrack_traj.txt"))
+    assert pred.shape == (T, 7) and np.isfinite(pred).all()
+    with open(outdir / "results.pkl", "rb") as f:
+        res = pickle.load(f)
+    assert res["cams_T_world"].shape == (T, 4, 4)
+
+
+@pytest.mark.slow
 def test_run_sparse_sh_davis_protocol(tmp_path):
     """The demo shell wrapper end to end: scripts/demo/run_sparse.sh with the
     reference's own argument pattern (depthdir_gt == depthdir, per-frame-K
