@@ -302,6 +302,23 @@ _INFER_CACHE: dict = {}
 _INFER_CACHE_MAX = 16  # LRU cap: each entry pins a compiled executable
 
 
+def _cache_hit(cache: dict, key) -> bool:
+    """LRU lookup: on hit, move the key to the end (most-recent) so
+    alternating over >cap buckets evicts least-recently-USED, not oldest.
+    Shared by the dpt and unidepth executable caches."""
+    if key in cache:
+        cache[key] = cache.pop(key)
+        return True
+    return False
+
+
+def _cache_put(cache: dict, key, value, cap: int = _INFER_CACHE_MAX):
+    if len(cache) >= cap:
+        cache.pop(next(iter(cache)))  # dicts iterate in insertion order
+    cache[key] = value
+    return value
+
+
 def infer_depth(model, params, image: np.ndarray, input_size: int = 518) -> np.ndarray:
     """Full-resolution relative disparity for a uint8 RGB image.
 
@@ -314,18 +331,12 @@ def infer_depth(model, params, image: np.ndarray, input_size: int = 518) -> np.n
     x = jnp.asarray(preprocess(image, input_size))
     h, w = image.shape[:2]
     key = (id(model), x.shape, h, w)
-    if key in _INFER_CACHE:
-        # LRU: refresh recency so alternating over >cap (model, shape)
-        # buckets evicts the least-recently-USED executable, not the oldest
-        _INFER_CACHE[key] = _INFER_CACHE.pop(key)
-    else:
+    if not _cache_hit(_INFER_CACHE, key):
         def run(p, xx):
             disp = model.apply(p, xx)  # (1, H', W')
             return interpolate_bilinear(disp, (h, w), align_corners=True)
 
-        if len(_INFER_CACHE) >= _INFER_CACHE_MAX:
-            _INFER_CACHE.pop(next(iter(_INFER_CACHE)))
-        _INFER_CACHE[key] = jax.jit(run)
+        _cache_put(_INFER_CACHE, key, jax.jit(run))
     return np.asarray(_INFER_CACHE[key](params, x)[0])
 
 

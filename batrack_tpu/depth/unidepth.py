@@ -41,6 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from batrack_tpu.depth.dpt import (ARCHS, IMAGENET_MEAN, IMAGENET_STD, PATCH,
+                                   _cache_hit, _cache_put,
                                    DINOv2, _conv, _lin)
 from batrack_tpu.ops.sampling import interpolate_bilinear
 
@@ -623,24 +624,7 @@ def _infer_shape(hw: Tuple[int, int],
     return (h * PATCH, w * PATCH), h * PATCH / H
 
 
-_RUN_CACHE: dict = {}
-_RUN_CACHE_MAX = 16  # LRU cap: each entry pins a compiled executable
-
-
-def _cache_put(cache, key, value, cap=_RUN_CACHE_MAX):
-    if len(cache) >= cap:
-        cache.pop(next(iter(cache)))  # dicts iterate in insertion order
-    cache[key] = value
-    return value
-
-
-def _cache_hit(cache, key):
-    """LRU lookup: on hit, move the key to the end (most-recent) so
-    alternating over >cap buckets evicts least-recently-USED, not oldest."""
-    if key in cache:
-        cache[key] = cache.pop(key)
-        return True
-    return False
+_RUN_CACHE: dict = {}  # LRU (shared helpers in dpt.py); entries pin executables
 
 
 def _run_fn(model, h, w, H, W, ratio, with_K, outputs):

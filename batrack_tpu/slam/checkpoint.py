@@ -41,7 +41,7 @@ def save_slam_state(slam: "BATrack", path: str) -> None:
     np.savez_compressed(path, meta=json.dumps(meta), **arrays)
 
 
-def _ring_pad(k: str, arr: np.ndarray, cur, slot_unit: int):
+def _ring_pad(k: str, arr: np.ndarray, cur, slot_unit: int, ring_saved: int):
     """Migrate a smaller saved edge-ring field to the configured capacity.
 
     The ring capacity grew with use_keyframe (+KEYFRAME_RING_EXTRA,
@@ -49,13 +49,17 @@ def _ring_pad(k: str, arr: np.ndarray, cur, slot_unit: int):
     ring are padded with empty slots (e_valid 0, slot_start -1, data 0) —
     appended slots sit AFTER the saved ones, so saved slot indices (and the
     restored _slot_info entries) remain valid. Only the leading (slot/edge)
-    axis may differ, and only by whole slots; anything else is a genuine
-    config mismatch and still raises."""
+    axis may differ, and only by whole slots of the CURRENT per-slot layout:
+    the saved element count must equal ring_saved (the saved slot_start
+    length) times the current slot_unit, which rejects checkpoints saved
+    under a different kf_stride/S_slam/M whose identical byte count would
+    otherwise be silently reinterpreted with the wrong slot grouping.
+    Anything else is a genuine config mismatch and still raises."""
     cshape = cur.shape
     if (
         arr.shape[1:] != tuple(cshape[1:])
         or arr.shape[0] >= cshape[0]
-        or arr.shape[0] % slot_unit
+        or arr.shape[0] != ring_saved * slot_unit
         or cshape[0] % slot_unit
     ):
         return None
@@ -69,8 +73,8 @@ def load_slam_state(slam: "BATrack", path: str) -> None:
     fields = {}
     ring_fields = {"e_kk", "e_jj", "e_target", "e_weight", "e_weight_pose",
                    "e_valid", "e_static", "slot_start"}
-    s = slam.cfg.slam
-    edges_per_slot = (s.S_slam // s.kf_stride) * s.PATCHES_PER_FRAME * s.S_slam
+    edges_per_slot = slam.dims.edges_per_slot
+    ring_saved = int(data["state_slot_start"].shape[0])
     for k in SLAMState._fields:
         arr = data[f"state_{k}"]
         cur = getattr(slam.state, k)
@@ -78,7 +82,7 @@ def load_slam_state(slam: "BATrack", path: str) -> None:
             migrated = None
             if k in ring_fields:
                 unit = 1 if k == "slot_start" else edges_per_slot
-                migrated = _ring_pad(k, arr, cur, unit)
+                migrated = _ring_pad(k, arr, cur, unit, ring_saved)
             if migrated is None:
                 hint = ""
                 if k in ring_fields:
@@ -119,13 +123,16 @@ def load_slam_state(slam: "BATrack", path: str) -> None:
     }
     # older checkpoints predate the slot allocator: reconstruct the
     # round-robin state they were written under (equivalent when no
-    # keyframe removal was in flight)
+    # keyframe removal was in flight). The round-robin modulus is the
+    # SAVED ring size — after a ring migration the arrays still hold
+    # append seq at slot (seq % ring_saved), not (seq % R)
     slot_info = meta.get("slot_info")
     R = len(slam._slot_info)
     if slot_info is None:
         slam._slot_info = [None] * R
-        for seq in range(max(0, slam.append_count - R), slam.append_count):
-            slam._slot_info[seq % R] = {
+        for seq in range(max(0, slam.append_count - ring_saved),
+                         slam.append_count):
+            slam._slot_info[seq % ring_saved] = {
                 "seq": seq,
                 "sources": [],  # unknown; treated as dead (pre-allocator FIFO)
             }

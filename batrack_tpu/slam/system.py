@@ -600,6 +600,12 @@ class BATrack:
         silently reading garbage."""
         C = self.counter
         M, S_local = self.dims.M, self.dims.S_local
+        # under keyframe removal the counter can exceed the buffer capacity
+        # (removals stall n while C grows); the buffers hold at most N rows,
+        # so the per-frame exports truncate there instead of crashing on the
+        # reshape (the reference crashes outright in this regime) — every
+        # truncated/absent row is flagged via stale_rows below
+        Cr = min(C, self.dims.N)
 
         poses = self._full_traj()
         import batrack_tpu.geometry.se3 as se3m
@@ -607,21 +613,21 @@ class BATrack:
         cams_T_world = np.asarray(se3m.matrix(se3m.inv(jnp.asarray(poses))))
 
         state = self.state
-        pts_valid = np.asarray(state.patches_valid[: C * M]).reshape(C, M)
-        trajs_weights = np.asarray(state.local_weights[: C * M]).reshape(C, M, S_local)
+        pts_valid = np.asarray(state.patches_valid[: Cr * M]).reshape(Cr, M)
+        trajs_weights = np.asarray(state.local_weights[: Cr * M]).reshape(Cr, M, S_local)
         results = {
             "cams_T_world": cams_T_world,
-            "intrinsics": np.asarray(state.intrinsics[:C]),
+            "intrinsics": np.asarray(state.intrinsics[:Cr]),
             "tstamps": np.asarray(self.tlist, dtype=float),
-            "trajs_2d_disp": np.asarray(state.local_targets[: C * M]).reshape(
-                C, M, S_local, 3
+            "trajs_2d_disp": np.asarray(state.local_targets[: Cr * M]).reshape(
+                Cr, M, S_local, 3
             ),
             "trajs_valid": (trajs_weights.sum(axis=2) > 0),
-            "trajs_static": np.asarray(state.local_static[: C * M]).reshape(
-                C, M, S_local
+            "trajs_static": np.asarray(state.local_static[: Cr * M]).reshape(
+                Cr, M, S_local
             ),
-            "trajs_vis": np.asarray(state.local_vis[: C * M]).reshape(C, M, S_local),
-            "grid_query_frames": np.arange(C)[pts_valid.sum(axis=1) > 0],
+            "trajs_vis": np.asarray(state.local_vis[: Cr * M]).reshape(Cr, M, S_local),
+            "grid_query_frames": np.arange(Cr)[pts_valid.sum(axis=1) > 0],
             "dmaps": None if dmaps is None else np.asarray(dmaps, dtype=float),
             "rgbs": None if rgbs is None else np.asarray(rgbs, dtype=float),
             "dmaps_gt": None if dmaps_gt is None else np.asarray(dmaps_gt, dtype=float),
@@ -630,10 +636,12 @@ class BATrack:
             results["ring_overflow_count"] = int(self.ring_overflow_count)
         if self.delta:
             # keyframe removals happened: per-frame rows are buffer-indexed
-            # while cams_T_world is counter-indexed (see docstring)
+            # while cams_T_world is counter-indexed (see docstring). Rows in
+            # [n, Cr) hold stale buffer content; counters beyond Cr (buffer
+            # capacity) have no row at all
             buffer_tstamps = np.asarray(self.state.tstamps[: self.n])
             misaligned = np.nonzero(buffer_tstamps != np.arange(self.n))[0]
-            stale = np.concatenate([misaligned, np.arange(self.n, C)])
+            stale = np.concatenate([misaligned, np.arange(self.n, Cr)])
             results["stale_rows"] = stale.astype(np.int64)
             results["buffer_tstamps"] = buffer_tstamps.astype(np.int64)
             import logging
@@ -642,9 +650,12 @@ class BATrack:
                 "get_results after %d keyframe removal(s): %d of %d per-frame "
                 "rows in trajs_*/dmaps-aligned buffers are stale or "
                 "misaligned with cams_T_world (reference-identical layout, "
-                "batrack.py:1091-1103). Consumers must remap via the "
+                "batrack.py:1091-1103)%s. Consumers must remap via the "
                 "'stale_rows'/'buffer_tstamps' fields or disable "
-                "slam.use_keyframe.", len(self.delta), len(stale), C,
+                "slam.use_keyframe.", len(self.delta), len(stale), Cr,
+                "" if Cr == C else
+                f"; counters {Cr}..{C - 1} exceed the buffer capacity and "
+                "have no per-frame rows (truncated export)",
             )
         if save_path is not None:
             import pickle

@@ -72,11 +72,8 @@ def _e_cap(T):
     """Static edge capacity of our loop at the current harness config."""
     from batrack_tpu.slam import StaticDims
 
-    cfg = T._our_cfg()
-    dims = StaticDims.from_config(cfg, T.HT, T.WD)
-    eps = (cfg.slam.S_slam // cfg.slam.kf_stride) * cfg.slam.PATCHES_PER_FRAME \
-        * cfg.slam.S_slam
-    return dims.ring_slots * eps
+    dims = StaticDims.from_config(T._our_cfg(), T.HT, T.WD)
+    return dims.ring_slots * dims.edges_per_slot
 
 
 def _steady_fps(frame_times, num_init):

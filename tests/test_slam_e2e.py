@@ -314,6 +314,58 @@ class TestCheckpointRingMigration:
         with pytest.raises(ValueError, match="edge-ring capacity"):
             shrunk.load_state(str(tmp_path / "big.npz"))
 
+    def test_kf_stride_mismatch_rejected_not_migrated(self, scene, tmp_path):
+        """A checkpoint saved under a different kf_stride can have an edge
+        count that divides the new per-slot size — the migration must still
+        reject it (the saved slots would be silently regrouped otherwise):
+        saved kf=2 -> 4 ring slots x 128 edges = 512; loading kf=1 has
+        256-edge slots, and 512 divides cleanly but means something else."""
+        poses_gt, depths, images = scene
+        cfg_s = small_config()
+        cfg_s.slam.REMOVAL_WINDOW = 8
+        dims = StaticDims.from_config(cfg_s, HT, WD)
+        saver = BATrack(cfg_s, HT, WD, seed=0)
+        saver.tracker = OracleTracker(poses_gt, INTR, dims, noise=0.0)
+        for t in range(T_FRAMES // 2):
+            saver(t, images[t], depths[t], INTR)
+        saver.save_state(str(tmp_path / "kf2.npz"))
+
+        cfg_l = small_config()
+        cfg_l.slam.REMOVAL_WINDOW = 8
+        cfg_l.slam.kf_stride = 1
+        loader = BATrack(cfg_l, HT, WD, seed=0)
+        with pytest.raises(ValueError, match="edge-ring capacity"):
+            loader.load_state(str(tmp_path / "kf2.npz"))
+
+    def test_get_results_survives_counter_beyond_buffer(self, scene, caplog):
+        """Keyframe removal stalls n while the counter grows; once counter
+        exceeds BUFFER_SIZE the per-frame buffers cannot cover every
+        counter — the export must truncate and flag, not crash on the
+        reshape (the reference crashes outright there)."""
+        import logging
+
+        poses_gt, depths, images = scene
+        cfg = small_config()
+        cfg.slam.BUFFER_SIZE = 16
+        cfg.slam.use_keyframe = True
+        cfg.slam.KEYFRAME_INDEX = 3
+        cfg.slam.KEYFRAME_THRESH = 1e6
+        dims = StaticDims.from_config(cfg, HT, WD)
+        slam = BATrack(cfg, HT, WD, seed=0)
+        slam.tracker = OracleTracker(poses_gt, INTR, dims, noise=0.0)
+        for t in range(T_FRAMES):
+            slam(t, images[t], depths[t], INTR)
+        assert slam.counter > cfg.slam.BUFFER_SIZE  # the hazardous regime
+
+        with caplog.at_level(logging.WARNING, "batrack_tpu.slam.system"):
+            res = slam.get_results()
+        Cr = cfg.slam.BUFFER_SIZE
+        assert res["cams_T_world"].shape == (T_FRAMES, 4, 4)  # counter-based
+        assert res["trajs_2d_disp"].shape[0] == Cr             # buffer-based
+        assert res["stale_rows"].max() < Cr
+        assert any("exceed the buffer capacity" in r.message
+                   for r in caplog.records)
+
 
 class TestVisualizerFeed:
     def test_static_payload_present(self, scene, tmp_path):
