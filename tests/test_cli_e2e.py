@@ -146,6 +146,53 @@ def test_run_slam_main_sintel_full_protocol(tmp_path):
 
 
 @pytest.mark.slow
+def test_eval_sintel_pose_sh_protocol(tmp_path):
+    """The Sintel pose-eval shell protocol (scripts/eval_sintel/
+    eval_sintel_pose.sh, mirror of the reference eval driver) on one
+    synthetic sequence arranged in the protocol's directory layout:
+    DATA_ROOT/final/<seq>, DATA_ROOT/depth/<seq> (gt .dpt),
+    DATA_ROOT/camdata_left/<seq> (.cam = calib AND gt trajectory),
+    DEPTH_ROOT/<seq> (prior .npy). Appends ATE/RPE to error_sum.txt."""
+    imdir, ddir, gdir, cdir, poses = _write_sintel(tmp_path / "raw")
+    seq = "synth_seq"
+    root = tmp_path / "training"
+    (root / "final").mkdir(parents=True)
+    (root / "final" / seq).symlink_to(imdir, True)
+    (root / "depth").mkdir()
+    (root / "depth" / seq).symlink_to(gdir, True)
+    (root / "camdata_left").mkdir()
+    (root / "camdata_left" / seq).symlink_to(cdir, True)
+    depth_root = tmp_path / "priors"
+    depth_root.mkdir()
+    (depth_root / seq).symlink_to(ddir, True)
+    savedir = tmp_path / "out"
+
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": "",
+        "PYTHONPATH": REPO,
+        "DATA_ROOT": str(root), "DEPTH_ROOT": str(depth_root),
+        "SAVE_DIR": str(savedir), "SEQS": seq,
+        "CONFIG": os.path.join(REPO, "configs", "sintel.yaml"),
+    })
+    r = subprocess.run(
+        ["bash", os.path.join(REPO, "scripts", "eval_sintel",
+                              "eval_sintel_pose.sh")] + SMALL_OVERRIDES,
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=1200,
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+
+    err_sum = (savedir / "error_sum.txt").read_text().splitlines()
+    assert err_sum[0].startswith(seq)
+    ate, rpe_t, rpe_r = (float(err_sum[i]) for i in (1, 2, 3))
+    assert np.isfinite([ate, rpe_t, rpe_r]).all()
+    # the script prints the summary table (reference protocol behavior)
+    assert seq in r.stdout
+    assert (savedir / seq / "eval_metrics.txt").exists()
+    assert (savedir / seq / "batrack_traj.txt").exists()
+
+
+@pytest.mark.slow
 def test_run_slam_main_two_process_distributed(tmp_path):
     """The user-facing multi-host path: `slam.distributed=true` through the
     ACTUAL CLI in 2 coordinated processes (x4 virtual chips each). Process 0
