@@ -193,6 +193,95 @@ def test_eval_sintel_pose_sh_protocol(tmp_path):
 
 
 @pytest.mark.slow
+def test_eval_shibuya_pose_sh_protocol(tmp_path):
+    """The TartanAir-Shibuya pose-eval shell protocol on one synthetic
+    sequence in the protocol layout: DATA_ROOT/<seq>/image_0, the fixed
+    calibs/tartan_shibuya.txt intrinsics (772.548 772.548 320 180 — the
+    scene is generated AT those intrinsics/640x360 so the geometry is
+    consistent), NED-convention gt_pose.txt, .npy priors doubling as gt
+    depth."""
+    import cv2
+
+    import jax.numpy as jnp
+
+    from batrack_tpu.geometry import se3
+
+    fx, fy, cx, cy = 772.548, 772.548, 320.0, 180.0
+    H, W = 360, 640
+    Tn = 10
+    rng = np.random.default_rng(7)
+    poses = gt_trajectory(Tn)  # w2c
+
+    def depth_of(pose_w2c):
+        u, v = np.meshgrid(np.arange(W), np.arange(H))
+        dirc = np.stack([(u - cx) / fx, (v - cy) / fy,
+                         np.ones_like(u, np.float32)], -1)
+        c2w = np.asarray(se3.inv(jnp.asarray(pose_w2c)))
+        R = np.asarray(se3.matrix(jnp.asarray(c2w)))[:3, :3]
+        t = c2w[:3]
+        dir_w = dirc @ R.T
+        return ((25.0 - t[2]) / dir_w[..., 2]).astype(np.float32)
+
+    seq = "SynthCrossing"
+    data_root = tmp_path / "shibuya"
+    depth_root = tmp_path / "priors"
+    imdir = data_root / seq / "image_0"
+    ddir = depth_root / seq
+    imdir.mkdir(parents=True)
+    ddir.mkdir(parents=True)
+    for t in range(Tn):
+        img = rng.integers(0, 255, (H, W, 3), np.uint8)
+        cv2.imwrite(str(imdir / f"{t:06d}.png"),
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        np.save(ddir / f"{t:06d}.npy", depth_of(poses[t]))
+
+    # gt_pose.txt: TUM rows through the INVERSE of load_tartanair_traj's
+    # NED shuffle, so the loader recovers the c2w trajectory exactly
+    c2w = np.asarray(se3.inv(jnp.asarray(poses)))  # [tx ty tz qx qy qz qw]
+    lines = []
+    for i in range(Tn):
+        x, y, z = c2w[i, :3]
+        qx, qy, qz, qw = c2w[i, 3:7]
+        # loader: xyz' = file_xyz[[1,2,0]]; quat'(wxyz) = file(w,y,z,x)
+        file_xyz = [z, x, y]
+        file_q = [qz, qx, qy, qw]  # file order qx qy qz qw
+        lines.append(" ".join(
+            f"{v:.9f}" for v in [float(i)] + file_xyz + file_q))
+    (data_root / seq / "gt_pose.txt").write_text("\n".join(lines) + "\n")
+
+    savedir = tmp_path / "out"
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": "",
+        "PYTHONPATH": REPO,
+        "DATA_ROOT": str(data_root), "DEPTH_ROOT": str(depth_root),
+        "SAVE_DIR": str(savedir), "SEQS": seq,
+        "CONFIG": os.path.join(REPO, "configs", "shibuya.yaml"),
+        "CALIB": os.path.join(REPO, "calibs", "tartan_shibuya.txt"),
+    })
+    r = subprocess.run(
+        ["bash", os.path.join(REPO, "scripts", "eval_shibuya",
+                              "eval_shibuya_pose.sh")] + SMALL_OVERRIDES,
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=1200,
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+
+    err_sum = (savedir / "error_sum.txt").read_text().splitlines()
+    assert err_sum[0].startswith(seq)
+    assert np.isfinite([float(err_sum[i]) for i in (1, 2, 3)]).all()
+    from batrack_tpu.utils.traj import read_tum_file
+
+    pred, _ = read_tum_file(str(savedir / seq / "batrack_traj.txt"))
+    assert pred.shape[0] == Tn and np.isfinite(pred).all()
+    # the NED shuffle fixture really is self-consistent: loading the gt
+    # file recovers the c2w trajectory
+    from batrack_tpu.utils.traj import load_traj
+
+    gt, _ = load_traj(str(data_root / seq / "gt_pose.txt"), "tartanair")
+    np.testing.assert_allclose(gt[:, :3], c2w[:, :3], atol=1e-6)
+
+
+@pytest.mark.slow
 def test_run_slam_main_two_process_distributed(tmp_path):
     """The user-facing multi-host path: `slam.distributed=true` through the
     ACTUAL CLI in 2 coordinated processes (x4 virtual chips each). Process 0
