@@ -191,6 +191,19 @@ def test_eval_sintel_pose_sh_protocol(tmp_path):
     assert (savedir / seq / "eval_metrics.txt").exists()
     assert (savedir / seq / "batrack_traj.txt").exists()
 
+    # stage 3 + depth metrics through the depth-eval shell protocol on the
+    # same results dir (eval_sintel_depth.sh: run_refine -> eval_depth)
+    env["NITER"] = "5"
+    r2 = subprocess.run(
+        ["bash", os.path.join(REPO, "scripts", "eval_sintel",
+                              "eval_sintel_depth.sh")],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=1200,
+    )
+    assert r2.returncode == 0, r2.stdout[-3000:] + r2.stderr[-3000:]
+    assert (savedir / seq / "results_refined.pkl").exists()
+    depth_txt = (savedir / "eval_depth.txt").read_text()
+    assert "abs_rel" in depth_txt and seq in depth_txt
+
 
 @pytest.mark.slow
 def test_eval_shibuya_pose_sh_protocol(tmp_path):
