@@ -8,7 +8,7 @@ for scene in ${SCENES:-tennis}; do
   echo "Processing scene: $scene"
   python -m batrack_tpu.cli.run_refine \
     --result_dir "$RESULT_DIR" \
-    --grid_size 12 \
+    --grid_size "${GRID:-12}" \
     --scenes "$scene" \
-    --niter 300
+    --niter "${NITER:-300}"
 done

@@ -13,21 +13,25 @@ DATA_DIR=${DATA_DIR:-data/davis}
 DEPTH_DIR=${DEPTH_DIR:-data/Monodepth/davis}
 DA_CKPT=${DA_CKPT:-checkpoints/depth_anything_v2_vitl.pth}
 UD_CKPT=${UD_CKPT:-checkpoints/unidepth_v2_vitl14.bin}
+ENCODER=${ENCODER:-vitl}     # DepthAnythingV2 arch (vits for smoke tests)
+UD_ARCH=${UD_ARCH:-vitl}     # UniDepthV2 arch
+DA_ARGS=${DA_ARGS:-}         # extra infer_depth args (e.g. --input_size)
+UD_ARGS=${UD_ARGS:-}         # extra infer_metric_depth args
 
 mkdir -p "$DEPTH_DIR"
 
 for seq in "${evalset[@]}"; do
-  python -m batrack_tpu.cli.infer_depth --encoder vitl \
+  python -m batrack_tpu.cli.infer_depth --encoder "$ENCODER" \
     --checkpoint "$DA_CKPT" \
     --img_dir "$DATA_DIR/$seq" \
-    --out_dir "$DEPTH_DIR/depthAny_disp/$seq"
+    --out_dir "$DEPTH_DIR/depthAny_disp/$seq" $DA_ARGS
 done
 
 for seq in "${evalset[@]}"; do
-  python -m batrack_tpu.cli.infer_metric_depth \
+  python -m batrack_tpu.cli.infer_metric_depth --arch "$UD_ARCH" \
     --checkpoint "$UD_CKPT" \
     --img_dir "$DATA_DIR/$seq" \
-    --out_dir "$DEPTH_DIR/unidepthv2/$seq"
+    --out_dir "$DEPTH_DIR/unidepthv2/$seq" $UD_ARGS
 done
 
 python -m batrack_tpu.cli.align_depth \

@@ -146,6 +146,114 @@ def test_run_slam_main_sintel_full_protocol(tmp_path):
 
 
 @pytest.mark.slow
+def test_demo_full_chain_sh(tmp_path):
+    """The WHOLE 4-stage demo through the actual shell scripts, from raw
+    images + saved (random-weight) torch checkpoints:
+      run_mono_depth.sh  (DA2 + UniDepth Flax inference + alignment)
+      -> run_sparse.sh   (SLAM on the stage-1 artifacts)
+      -> run_dense.sh    (global refinement)
+      -> run_vis.sh      (viewer; graceful no-op without rerun-sdk).
+    This is the reference README's end-to-end user journey executed on the
+    real filesystem protocol between stages."""
+    import json
+
+    import cv2
+    torch = pytest.importorskip("torch")
+
+    da2_root = os.path.join(os.environ.get("BATRACK_REFERENCE_ROOT",
+                                           "/root/reference"),
+                            "Depth-Anything")
+    ud_root = os.path.join(os.environ.get("BATRACK_REFERENCE_ROOT",
+                                          "/root/reference"), "UniDepth")
+    if not (os.path.isdir(da2_root) and os.path.isdir(ud_root)):
+        pytest.skip("reference depth providers not present")
+
+    # raw frames (the only input a user starts from, besides checkpoints)
+    scene = "clip"
+    data_dir = tmp_path / "davis"
+    (data_dir / scene).mkdir(parents=True)
+    rng = np.random.default_rng(11)
+    for t in range(6):
+        img = rng.integers(0, 256, (126, 168, 3), dtype=np.uint8)
+        cv2.imwrite(str(data_dir / scene / f"{t:05d}.png"),
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+
+    # random-weight checkpoints in the released formats (smallest archs)
+    from test_unidepth import _install_stubs
+
+    from batrack_tpu.utils.refimport import install_reference_stubs
+
+    install_reference_stubs()
+    _install_stubs()  # torchvision/xformers stubs for the UniDepth import
+    if da2_root not in sys.path:
+        sys.path.insert(0, da2_root)
+    if ud_root not in sys.path:
+        sys.path.insert(0, ud_root)
+    from depth_anything_v2.dpt import DepthAnythingV2 as TorchDA2
+    from unidepth.models.unidepthv2.unidepthv2 import UniDepthV2 as TorchUD
+
+    torch.manual_seed(0)
+    da_ckpt = tmp_path / "da2_vits.pth"
+    torch.save(TorchDA2(encoder="vits", features=64,
+                        out_channels=[48, 96, 192, 384]).state_dict(),
+               str(da_ckpt))
+    with open(os.path.join(ud_root, "configs/config_v2_vits14.json")) as f:
+        ud_cfg = json.load(f)
+    ud_ckpt = tmp_path / "ud_vits.pth"
+    torch.save(TorchUD(ud_cfg).state_dict(), str(ud_ckpt))
+
+    depth_dir = tmp_path / "Monodepth"
+    savedir = tmp_path / "out"
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": "",
+        "PYTHONPATH": REPO, "SCENES": scene,
+        "DATA_DIR": str(data_dir), "DEPTH_DIR": str(depth_dir),
+        "SAVE_DIR": str(savedir),
+        "DA_CKPT": str(da_ckpt), "UD_CKPT": str(ud_ckpt),
+        "ENCODER": "vits", "UD_ARCH": "vits",
+        "DA_ARGS": "--input_size 126", "UD_ARGS": "--resolution_level 0",
+        "CONFIG": os.path.join(REPO, "configs", "davis_demo.yaml"),
+        "NITER": "5", "GRID": "8",
+        "RESULT_PATH": str(savedir / scene / "results_refined.pkl"),
+    })
+
+    def sh(script, extra=(), ok_rcs=(0,)):
+        r = subprocess.run(
+            ["bash", os.path.join(REPO, "scripts", "demo", script)]
+            + list(extra),
+            env=env, cwd=REPO, capture_output=True, text=True, timeout=1500,
+        )
+        assert r.returncode in ok_rcs, (
+            f"{script}:\n{r.stdout[-2500:]}\n{r.stderr[-2500:]}")
+        return r
+
+    sh("run_mono_depth.sh")
+    # stage-1 artifacts in the stage-2 input schema (reference naming:
+    # per-frame aligned depth .npy + <frame>_intrinsics.npy)
+    aligned = sorted(os.listdir(depth_dir / "unidepth_da" / scene))
+    assert len(aligned) == 6
+    Ks = sorted(os.listdir(depth_dir / "unidepth_da_intrinsics" / scene))
+    assert len(Ks) == 6
+    K = np.load(depth_dir / "unidepth_da_intrinsics" / scene / Ks[0])
+    assert K.shape == (3, 3)
+
+    sh("run_sparse.sh", SMALL_OVERRIDES + ["save_video=false"])
+    assert (savedir / scene / "results.pkl").exists()
+
+    sh("run_dense.sh")
+    assert (savedir / scene / "results_refined.pkl").exists()
+
+    # rc 1 = vis_results' deliberate "rerun-sdk absent" signal (it still
+    # prints the results summary; the reference's viewer would crash on
+    # import instead); rc 0 when the SDK is installed
+    r = sh("run_vis.sh", ok_rcs=(0, 1))
+    out = r.stdout + r.stderr
+    assert "rerun" in out.lower()
+    assert "cams_T_world" in out  # the summary print ran over the pickle
+
+
+@pytest.mark.slow
 def test_eval_sintel_pose_sh_protocol(tmp_path):
     """The Sintel pose-eval shell protocol (scripts/eval_sintel/
     eval_sintel_pose.sh, mirror of the reference eval driver) on one
